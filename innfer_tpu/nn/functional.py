@@ -1,0 +1,316 @@
+"""Core functional NN ops with exact PyTorch inference semantics, NHWC layout.
+
+This is the numerical foundation of the framework: every architecture in
+``innfer_tpu.models`` is a pure function composed from the ops here.  All ops
+
+  * take activations as NHWC (TPU-native) ``jnp.ndarray``,
+  * take weights in TPU-native layouts (conv: HWIO; transposed conv: HWIO of
+    the equivalent fractionally-strided conv, pre-flipped at checkpoint
+    conversion time, see ``innfer_tpu.checkpoint.convert``),
+  * are shape-static and jit/vmap/shard_map friendly (no data-dependent
+    Python control flow),
+  * accumulate matmuls/convs in float32 via ``preferred_element_type`` so
+    bfloat16 activations keep fp32 accumulation on the MXU.
+
+Numerical parity targets (verified in tests/test_functional.py against
+torch CPU): Conv2d, ConvTranspose2d, LeakyReLU/PReLU/ReLU/Tanh/Sigmoid,
+PixelShuffle, MaxPool2d, reflection/replication padding, InstanceNorm2d
+(affine=False, no running stats), BatchNorm2d (train and eval modes).
+
+Reference behaviors reimplemented (cited for parity auditing, not copied):
+  /root/reference/architectures/block.py:81-101 (activations)
+  /root/reference/architectures/block.py:112-132 (norm layers)
+  /root/reference/architectures/block.py:144-160 (padding layers)
+  /root/reference/architectures/block.py:333-346 (pixelshuffle block)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Array = jax.Array
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+_DIMNUMS_NHWC = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(
+    x: Array,
+    w: Array,
+    b: Optional[Array] = None,
+    *,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Union[int, Tuple[int, int], Sequence[Tuple[int, int]]] = 0,
+    dilation: Union[int, Tuple[int, int]] = 1,
+    groups: int = 1,
+    accum_dtype=jnp.float32,
+) -> Array:
+    """2D convolution, NHWC x HWIO -> NHWC.  Matches torch.nn.Conv2d.
+
+    ``padding`` may be an int (symmetric), an (ph, pw) tuple, or an explicit
+    [(top, bottom), (left, right)] list for asymmetric (TF-"SAME"-style) pads.
+    Accumulation happens in ``accum_dtype`` (fp32 by default) and the result
+    is cast back to the input dtype.
+    """
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    elif isinstance(padding, tuple) and isinstance(padding[0], int):
+        padding = [(padding[0], padding[0]), (padding[1], padding[1])]
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=_DIMNUMS_NHWC,
+        feature_group_count=groups,
+        preferred_element_type=accum_dtype,
+    )
+    if b is not None:
+        out = out + b.astype(accum_dtype)
+    return out.astype(x.dtype)
+
+
+def conv_transpose2d(
+    x: Array,
+    w: Array,
+    b: Optional[Array] = None,
+    *,
+    stride: Union[int, Tuple[int, int]] = 2,
+    padding: Union[int, Tuple[int, int]] = 1,
+    output_padding: Union[int, Tuple[int, int]] = 0,
+    accum_dtype=jnp.float32,
+) -> Array:
+    """2D transposed convolution matching torch.nn.ConvTranspose2d.
+
+    ``w`` must be the *pre-converted* HWIO kernel: the torch ConvTranspose2d
+    weight has layout (I, O, kh, kw); the checkpoint converter spatially flips
+    it and transposes to (kh, kw, I, O) so that the transposed conv becomes a
+    plain input-dilated convolution here (the XLA-native formulation).
+
+    out_size = (in - 1) * stride - 2 * padding + kernel + output_padding
+    """
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    if isinstance(output_padding, int):
+        output_padding = (output_padding, output_padding)
+    kh, kw = w.shape[0], w.shape[1]
+    pads = [
+        (kh - 1 - padding[0], kh - 1 - padding[0] + output_padding[0]),
+        (kw - 1 - padding[1], kw - 1 - padding[1] + output_padding[1]),
+    ]
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding=pads,
+        lhs_dilation=stride,
+        dimension_numbers=_DIMNUMS_NHWC,
+        preferred_element_type=accum_dtype,
+    )
+    if b is not None:
+        out = out + b.astype(accum_dtype)
+    return out.astype(x.dtype)
+
+
+def dense(x: Array, w: Array, b: Optional[Array] = None, *, accum_dtype=jnp.float32) -> Array:
+    """Channel-mixing matmul over the last axis (used for 1x1 Conv1d layers).
+
+    ``w`` has layout (I, O)."""
+    out = jnp.dot(x, w, preferred_element_type=accum_dtype)
+    if b is not None:
+        out = out + b.astype(accum_dtype)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Padding
+# ---------------------------------------------------------------------------
+
+def pad2d(x: Array, pad: Union[int, Tuple[int, int, int, int]], mode: str = "zero") -> Array:
+    """Spatial padding of an NHWC tensor.
+
+    ``pad`` is an int (all sides) or torch-F.pad-ordered (left, right, top,
+    bottom).  ``mode``: 'zero' | 'reflect' | 'replicate'.
+    Matches nn.ReflectionPad2d / nn.ReplicationPad2d / nn.ZeroPad2d
+    (reference block.py:144-160).
+    """
+    if isinstance(pad, int):
+        l = r = t = bm = pad
+    else:
+        l, r, t, bm = pad
+    widths = [(0, 0), (t, bm), (l, r), (0, 0)]
+    if mode == "zero":
+        return jnp.pad(x, widths)
+    if mode == "reflect":
+        return jnp.pad(x, widths, mode="reflect")
+    if mode == "replicate":
+        return jnp.pad(x, widths, mode="edge")
+    raise NotImplementedError(f"padding mode [{mode}] is not implemented")
+
+
+def tf_same_padding(x: Array, k_size: int = 3) -> Array:
+    """TF-style asymmetric SAME padding for stride-2 convs.
+
+    Reproduces the WBC tf-mode padding (reference WBCNet_arch.py:141-143):
+    pad (left, right, top, bottom) = (j-1, j, j-1, j) with j = k//2.
+    """
+    j = k_size // 2
+    return pad2d(x, (j - 1, j, j - 1, j), mode="zero")
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+def relu(x: Array) -> Array:
+    return jax.nn.relu(x)
+
+
+def leaky_relu(x: Array, neg_slope: float = 0.2) -> Array:
+    return jnp.where(x >= 0, x, x * jnp.asarray(neg_slope, x.dtype))
+
+
+def prelu(x: Array, weight: Array) -> Array:
+    """PReLU with per-channel (or single) weight; channel is the last axis."""
+    w = weight.astype(x.dtype)
+    if w.size > 1:
+        w = w.reshape((1,) * (x.ndim - 1) + (-1,))
+    return jnp.where(x >= 0, x, x * w)
+
+
+def swish(x: Array, beta: Array, slope: float = 1.67653251702) -> Array:
+    """Learnable-beta Swish: 2*(slope/2)*x*sigmoid(beta*x).
+
+    Reference block.py:14-78 (Swish module: stored slope is user_slope/2 and
+    forward multiplies by 2*self.slope, i.e. net factor = user slope).
+    """
+    return jnp.asarray(slope, x.dtype) * x * jax.nn.sigmoid(beta.astype(x.dtype) * x)
+
+
+def tanh(x: Array) -> Array:
+    return jnp.tanh(x)
+
+
+def sigmoid(x: Array) -> Array:
+    return jax.nn.sigmoid(x)
+
+
+def act(kind: Optional[str], x: Array, *, neg_slope: float = 0.2, params=None, key: str = "") -> Array:
+    """Activation dispatcher mirroring reference block.py:81-101."""
+    if kind is None:
+        return x
+    kind = kind.lower()
+    if kind == "relu":
+        return relu(x)
+    if kind in ("leakyrelu", "lrelu"):
+        return leaky_relu(x, neg_slope)
+    if kind == "prelu":
+        return prelu(x, params[key + ".weight"])
+    if kind == "tanh":
+        return tanh(x)
+    if kind == "sigmoid":
+        return sigmoid(x)
+    if kind == "swish":
+        return swish(x, params[key + ".beta"])
+    raise NotImplementedError(f"activation layer [{kind}] is not found")
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+def instance_norm(x: Array, *, eps: float = 1e-5, weight: Optional[Array] = None,
+                  bias: Optional[Array] = None) -> Array:
+    """InstanceNorm2d with per-sample spatial statistics (biased variance).
+
+    Matches torch.nn.InstanceNorm2d(affine=False, track_running_stats=False)
+    in both train and eval mode (reference block.py:124).
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    out = (x32 - mean) * lax.rsqrt(var + eps)
+    if weight is not None:
+        out = out * weight.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def batch_norm(
+    x: Array,
+    weight: Array,
+    bias: Array,
+    running_mean: Optional[Array],
+    running_var: Optional[Array],
+    *,
+    training: bool = False,
+    eps: float = 1e-5,
+) -> Array:
+    """BatchNorm2d.  ``training=True`` uses batch statistics over (N,H,W)
+    with biased variance — the pix2pix ``meval=False`` path (reference
+    run.py:299-303); ``training=False`` uses the stored running stats.
+    """
+    x32 = x.astype(jnp.float32)
+    if training or running_mean is None:
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2))
+    else:
+        mean = running_mean.astype(jnp.float32)
+        var = running_var.astype(jnp.float32)
+    scale = weight.astype(jnp.float32) * lax.rsqrt(var + eps)
+    shift = bias.astype(jnp.float32) - mean * scale
+    return (x32 * scale + shift).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Shuffles / pooling
+# ---------------------------------------------------------------------------
+
+def pixel_shuffle(x: Array, r: int) -> Array:
+    """PixelShuffle matching torch channel ordering, in NHWC.
+
+    torch (NCHW): out[b, c, h*r+i, w*r+j] = in[b, c*r*r + i*r + j, h, w].
+    """
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, i, w, j, c
+    return x.reshape(b, h * r, w * r, c)
+
+
+def max_pool2d(x: Array, kernel: int, stride: Optional[int] = None) -> Array:
+    """MaxPool2d with no padding (matches nn.MaxPool2d(k, s))."""
+    if stride is None:
+        stride = kernel
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misc
+# ---------------------------------------------------------------------------
+
+def softmax(x: Array, axis: int = -1) -> Array:
+    return jax.nn.softmax(x.astype(jnp.float32), axis=axis).astype(x.dtype)
