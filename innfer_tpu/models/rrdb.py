@@ -1,0 +1,128 @@
+"""RRDBNet (ESRGAN / ESRGAN+ / mESRGAN) in pure JAX, NHWC.
+
+Architecture parity targets (reimplemented, not translated):
+  * RRDBNet macro-structure: fea conv -> ShortcutBlock(nb x RRDB + LR conv)
+    -> upsample chain -> HR convs (+ optional final act)
+    (/root/reference/architectures/RRDBNet_arch.py:16-62)
+  * RRDB = nr x ResidualDenseBlock_5C, out*0.2 + x (RRDBNet_arch.py:64-98)
+  * RDB_5C = 5 dense-concat convs, ESRGAN+ conv1x1 cross-residuals,
+    out*0.2 + x; GaussianNoise is train-only so omitted at inference
+    (RRDBNet_arch.py:100-165, block.py:375-388)
+  * mESRGAN ("modified" layout) checkpoints are converted to the flattened
+    layout via remaps.mod_to_normal and run through this same forward —
+    mathematically identical to MRRDBNet (RRDBNet_arch.py:173-198).
+
+State-dict key layout is the flattened nn.Sequential naming the reference's
+param inference walks (run.py:115-139): model.0 (fea), model.1.sub.<i> (RRDB
+blocks), model.1.sub.<nb> (LR conv), positional upsample/HR convs after.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+
+from innfer_tpu.checkpoint.remaps import mod_to_normal
+from innfer_tpu.models import common as C
+from innfer_tpu.models.base import ModelDef
+from innfer_tpu.nn import functional as F
+
+import jax.numpy as jnp
+
+
+def _rdb5c(params, x, prefix: str, *, act_type: str, plus: bool):
+    """Residual Dense Block (5 convs, dense concat growth, 0.2 residual)."""
+    cat = lambda *ts: jnp.concatenate(ts, axis=-1)
+    conv = lambda i, t: F.conv2d(
+        t, params[f"{prefix}.conv{i}.0.weight"], params.get(f"{prefix}.conv{i}.0.bias"), padding=1
+    )
+    a = lambda t: F.act(act_type, t)
+
+    x1 = a(conv(1, x))
+    x2 = a(conv(2, cat(x, x1)))
+    if plus:
+        x2 = x2 + F.conv2d(x, params[f"{prefix}.conv1x1.weight"], None)
+    x3 = a(conv(3, cat(x, x1, x2)))
+    x4 = a(conv(4, cat(x, x1, x2, x3)))
+    if plus:
+        x4 = x4 + x2
+    x5 = conv(5, cat(x, x1, x2, x3, x4))
+    return x5 * jnp.asarray(0.2, x.dtype) + x
+
+
+def _rrdb(params, x, prefix: str, *, nr: int, act_type: str, plus: bool):
+    out = x
+    if nr == 3:
+        for name in ("RDB1", "RDB2", "RDB3"):
+            out = _rdb5c(params, out, f"{prefix}.{name}", act_type=act_type, plus=plus)
+    else:
+        for i in range(nr):
+            out = _rdb5c(params, out, f"{prefix}.RDBs.{i}", act_type=act_type, plus=plus)
+    return out * jnp.asarray(0.2, x.dtype) + x
+
+
+def build(cfg: Dict[str, Any]) -> ModelDef:
+    """Build the RRDBNet ModelDef from a full config (config/defaults.py)."""
+    nb = cfg["nb"]
+    nr = cfg.get("nr", 3)
+    upscale = int(cfg.get("upscale", 4))
+    act_type = cfg.get("act_type", "leakyrelu")
+    plus = bool(cfg.get("plus", False))
+    mode = cfg.get("upsample_mode", "upconv")
+    finalact = cfg.get("finalact")
+    if cfg.get("norm_type") not in (None, "none"):
+        raise NotImplementedError("RRDBNet with norm layers is not supported")
+    if cfg.get("convtype", "Conv2D") != "Conv2D":
+        raise NotImplementedError(f"convtype {cfg.get('convtype')} not supported")
+
+    _n_up, factor = C.n_upscale_blocks(upscale)
+    up_convs, hr0 = C.upsample_indices(upscale, mode)
+
+    def apply(params, x: jax.Array) -> jax.Array:
+        fea = C.conv3x3(params, x, "model.0")
+        t = fea
+        for i in range(nb):
+            t = _rrdb(params, t, f"model.1.sub.{i}", nr=nr, act_type=act_type, plus=plus)
+        t = C.conv3x3(params, t, f"model.1.sub.{nb}")
+        h = fea + t  # ShortcutBlock (block.py:183-194)
+        for ci in up_convs:
+            h = C.apply_upsample_block(
+                params, h, f"model.{ci}", mode=mode, factor=factor, act_type=act_type
+            )
+        h = F.act(act_type, C.conv3x3(params, h, f"model.{hr0}"))
+        h = C.conv3x3(params, h, f"model.{hr0 + 2}")
+        if finalact:
+            h = F.act(finalact, h)
+        return h
+
+    return ModelDef(
+        name="rrdb_net",
+        cfg=dict(cfg),
+        apply=apply,
+        scale=upscale,
+    )
+
+
+def build_mrrdb(cfg: Dict[str, Any]) -> ModelDef:
+    """mESRGAN: fixed-4x modified-layout RRDB.  Checkpoints are remapped to
+    the flattened layout (remaps.mod_to_normal) and run through the rrdb
+    forward — the MRRDBNet forward (RRDBNet_arch.py:189-198) is exactly the
+    flattened 4x upconv path."""
+    full = {
+        "type": "rrdb_net",
+        "nb": cfg["nb"],
+        "nr": 3,
+        "nf": cfg.get("nf", 64),
+        "gc": cfg.get("gc", 32),
+        "in_nc": cfg.get("in_nc", 3),
+        "out_nc": cfg.get("out_nc", 3),
+        "upscale": 4,
+        "act_type": "leakyrelu",
+        "upsample_mode": "upconv",
+        "norm_type": None,
+        "plus": False,
+    }
+    model = build(full)
+    model.name = "mrrdb_net"
+    model.remap = mod_to_normal
+    return model

@@ -1,0 +1,147 @@
+"""Checkpoint subsystem tests: torch-free .pth reading, remaps, detection."""
+import numpy as np
+import pytest
+import torch
+
+from innfer_tpu.checkpoint.torch_pickle import load_checkpoint
+from innfer_tpu.checkpoint.remaps import swa_to_normal, mod_to_normal, normal_to_mod
+from innfer_tpu.checkpoint.detect import fingerprint_arch, infer_params
+
+
+def _roundtrip(tmp_path, obj, legacy=False):
+    p = str(tmp_path / ("ck_legacy.pth" if legacy else "ck.pth"))
+    torch.save(obj, p, _use_new_zipfile_serialization=not legacy)
+    return load_checkpoint(p)
+
+
+@pytest.mark.parametrize("legacy", [False, True])
+def test_load_roundtrip_dtypes(tmp_path, rng, legacy):
+    obj = {
+        "a.weight": torch.from_numpy(rng.standard_normal((4, 3, 3, 3), dtype=np.float32)),
+        "a.bias": torch.from_numpy(rng.standard_normal(4, dtype=np.float32)),
+        "h": torch.from_numpy(rng.standard_normal((2, 5), dtype=np.float32)).half(),
+        "b16": torch.from_numpy(rng.standard_normal((3, 3), dtype=np.float32)).bfloat16(),
+        "i": torch.arange(10, dtype=torch.int64),
+        "scalar": torch.tensor(7, dtype=torch.int64),
+    }
+    state = _roundtrip(tmp_path, obj, legacy=legacy)
+    assert set(state) == set(obj)
+    for k in obj:
+        ours = np.asarray(state[k], dtype=np.float64)
+        theirs = obj[k].float().numpy().astype(np.float64) if obj[k].is_floating_point() else obj[k].numpy()
+        np.testing.assert_array_equal(ours, theirs)
+
+
+def test_load_noncontiguous_view(tmp_path, rng):
+    base = torch.from_numpy(rng.standard_normal((8, 8), dtype=np.float32))
+    view = base.t()  # non-contiguous
+    state = _roundtrip(tmp_path, {"v": view})
+    np.testing.assert_array_equal(state["v"], view.numpy())
+
+
+def test_load_shared_storage(tmp_path, rng):
+    base = torch.from_numpy(rng.standard_normal(16, dtype=np.float32))
+    obj = {"full": base, "half1": base[:8], "half2": base[8:]}
+    state = _roundtrip(tmp_path, obj)
+    np.testing.assert_array_equal(state["half2"], base[8:].numpy())
+
+
+def test_rejects_arbitrary_globals(tmp_path):
+    import pickle, zipfile
+    p = str(tmp_path / "evil.pth")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("archive/data.pkl", pickle.dumps({"x": print}))
+    with pytest.raises(Exception):
+        load_checkpoint(p)
+
+
+def test_nested_state_dict_unwrap(tmp_path, rng):
+    w = torch.from_numpy(rng.standard_normal((2, 2), dtype=np.float32))
+    state = _roundtrip(tmp_path, {"params_ema": {"w": w}})
+    assert list(state) == ["w"]
+
+
+def test_swa_unwrap():
+    state = {
+        "n_averaged": np.array(5),
+        "module.module.model.0.weight": np.ones(3),
+        "stray": np.zeros(2),
+    }
+    out = swa_to_normal(state)
+    assert list(out) == ["model.0.weight"]
+
+
+def test_mod_normal_roundtrip(rng):
+    # build a mesrgan-layout dict with nb=2
+    state = {"conv_first.weight": rng.standard_normal((8, 3, 3, 3)),
+             "conv_first.bias": rng.standard_normal(8)}
+    for i in range(2):
+        for j in (1, 2, 3):
+            for c in range(1, 6):
+                state[f"RRDB_trunk.{i}.RDB{j}.conv{c}.weight"] = rng.standard_normal((4, 8, 3, 3))
+                state[f"RRDB_trunk.{i}.RDB{j}.conv{c}.bias"] = rng.standard_normal(4)
+    for stem in ("trunk_conv", "upconv1", "upconv2", "HRconv", "conv_last"):
+        state[f"{stem}.weight"] = rng.standard_normal((8, 8, 3, 3))
+        state[f"{stem}.bias"] = rng.standard_normal(8)
+
+    flat = mod_to_normal(state)
+    assert "model.0.weight" in flat
+    assert "model.1.sub.0.RDB1.conv1.0.weight" in flat
+    assert "model.1.sub.2.weight" in flat  # trunk conv at nb=2
+    assert "model.10.weight" in flat
+    back = normal_to_mod(flat)
+    assert set(back) == set(state)
+    for k in state:
+        np.testing.assert_array_equal(back[k], state[k])
+
+
+def test_fingerprints():
+    assert fingerprint_arch({"SCPA_trunk.0.conv1_a.weight": 0})[0] == "pan"
+    assert fingerprint_arch({"model.1.sub.0.res.0.weight": 0})[0] == "srgan"
+    assert fingerprint_arch({"model.0.weight": 0})[0] == "esrgan"
+    assert fingerprint_arch({"CFEM.0.weight": 0})[0] == "ppon"
+    assert fingerprint_arch({"conv_9.weight": 0})[0] == "wbcunet"
+    with pytest.raises(ValueError):
+        fingerprint_arch({"unknown.weight": 0})
+
+
+def _fake_esrgan_state(nb=23, nf=64, scale=4, in_nc=3, out_nc=3, plus=False):
+    """Flattened-layout key skeleton with correctly-shaped model.0 / last convs."""
+    state = {"model.0.weight": np.zeros((nf, in_nc, 3, 3)), "model.0.bias": np.zeros(nf)}
+    for i in range(nb):
+        state[f"model.1.sub.{i}.RDB1.conv1.0.weight"] = np.zeros((32, nf, 3, 3))
+        if plus:
+            state[f"model.1.sub.{i}.RDB1.conv1x1.weight"] = np.zeros((32, nf, 1, 1))
+    state[f"model.1.sub.{nb}.weight"] = np.zeros((nf, nf, 3, 3))
+    import math
+    n_up = int(math.log2(scale)) if scale > 1 else 0
+    idx = 2
+    for _ in range(n_up):
+        idx += 1  # upsample module
+        state[f"model.{idx}.weight"] = np.zeros((nf, nf, 3, 3))
+        idx += 2  # conv + act
+    state[f"model.{idx}.weight"] = np.zeros((nf, nf, 3, 3))  # HR0
+    idx += 2
+    state[f"model.{idx}.weight"] = np.zeros((out_nc, nf, 3, 3))  # HR1
+    return state
+
+
+@pytest.mark.parametrize("scale", [1, 2, 4, 8])
+def test_infer_scale_nb_nf(scale):
+    state = _fake_esrgan_state(nb=11, nf=32, scale=scale)
+    cfg = infer_params("esrgan", state)
+    assert cfg["upscale"] == scale
+    assert cfg["nb"] == 11
+    assert cfg["nf"] == 32
+    assert cfg["plus"] is False
+
+
+def test_infer_plus_and_out_nc():
+    cfg = infer_params("esrgan", _fake_esrgan_state(plus=True, out_nc=4))
+    assert cfg["plus"] is True
+    assert cfg["out_nc"] == 4
+
+
+def test_infer_wbc():
+    cfg = infer_params("wbcunet", {"conv.weight": np.zeros((32, 3, 7, 7)), "conv_9.weight": np.zeros((3, 32, 7, 7))})
+    assert cfg["type"] == "wbcunet_net" and cfg["nf"] == 32

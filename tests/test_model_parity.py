@@ -1,0 +1,85 @@
+"""Model-level golden parity: our JAX forwards vs reference PyTorch fp32.
+
+Fixtures in tests/goldens/ were produced by tools/make_goldens.py running the
+actual reference implementation.  The acceptance bar is the BASELINE.json
+fidelity target: PSNR >= 60 dB vs the PyTorch fp32 output (we assert much
+tighter than that in fp32).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from innfer_tpu.loader import load_model
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def psnr(a, b, peak=1.0):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return np.inf
+    return 10 * np.log10(peak ** 2 / mse)
+
+
+def run_case(name, arch="infer", min_psnr=80.0, output_key="output", output_index=None):
+    fx = np.load(os.path.join(GOLDENS, f"{name}.npz"))
+    meta = json.loads(str(fx["meta"]))
+    x_nchw = fx["input"]
+    ref = fx[output_key]
+
+    model, params = load_model(os.path.join(GOLDENS, f"{name}.pth"), arch=arch)
+    x = jax.numpy.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+    out = jax.jit(model.apply)(params, x)
+    if output_index is not None:
+        out = out[output_index]
+    out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
+
+    assert out_nchw.shape == ref.shape, (out_nchw.shape, ref.shape)
+    p = psnr(out_nchw, ref, peak=max(1.0, np.abs(ref).max()))
+    assert p >= min_psnr, f"{name}: PSNR {p:.2f} dB < {min_psnr}"
+    return p, meta, model
+
+
+class TestRRDB:
+    @pytest.mark.parametrize("name", ["esrgan_x4", "esrgan_x2", "esrgan_x1"])
+    def test_scales(self, name):
+        p, meta, model = run_case(name)
+        assert model.scale == meta["scale"]
+
+    def test_plus(self):
+        run_case("esrgan_plus_x2")
+
+    def test_nr2(self):
+        # nr=2 uses the RDBs.<i> naming; auto-infer cannot know nr, so load
+        # with explicit config via arch alias + nr in state is not exposed —
+        # exercise through explicit config instead.
+        import json as _json
+        fx = np.load(os.path.join(GOLDENS, "esrgan_nr2_x2.npz"))
+        meta = _json.loads(str(fx["meta"]))
+        from innfer_tpu.checkpoint.torch_pickle import load_checkpoint
+        from innfer_tpu.loader import load_model_from_state
+
+        state = load_checkpoint(os.path.join(GOLDENS, "esrgan_nr2_x2.pth"))
+        cfg = dict(meta["cfg"])
+        model, params = load_model_from_state(state, cfg)
+        x = jax.numpy.asarray(np.transpose(fx["input"], (0, 2, 3, 1)))
+        out = np.transpose(np.asarray(jax.jit(model.apply)(params, x)), (0, 3, 1, 2))
+        assert psnr(out, fx["output"], peak=max(1.0, np.abs(fx["output"]).max())) >= 80
+
+    def test_fp16_checkpoint(self):
+        # fp16 weights: parity bar is fp16 resolution, still far above 60 dB
+        run_case("esrgan_x4_fp16", min_psnr=60.0)
+
+    def test_swa_checkpoint(self):
+        run_case("esrgan_x4_swa")
+
+    def test_legacy_format(self):
+        run_case("esrgan_x4_legacy")
+
+    def test_mesrgan_autoconvert(self):
+        # modified layout fingerprints as conv_first -> mod2normal -> esrgan
+        run_case("mesrgan_x4")

@@ -1,0 +1,146 @@
+"""Generate golden parity fixtures by running the REFERENCE implementation.
+
+Run on a machine where /root/reference (victorca25/iNNfer) is mounted:
+
+    python tools/make_goldens.py
+
+For each case this saves into tests/goldens/:
+  <case>.pth   — a tiny random-init checkpoint in the torch format the
+                 reference would consume
+  <case>.npz   — input tensor (NCHW fp32), reference fp32 output(s), and a
+                 JSON meta blob (arch config, scale, eval mode)
+
+The fixtures are DATA generated from the reference's behavior; no reference
+code is copied into this repository.  Tests (tests/test_model_parity.py)
+compare our JAX forwards against these outputs at >= 60 dB PSNR.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import torch
+
+REF = os.environ.get("REFERENCE_PATH", "/root/reference")
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+
+sys.path.insert(0, REF)
+
+from architectures import get_network  # noqa: E402  (reference factory)
+from utils.defaults import get_network_G_config  # noqa: E402
+from utils.utils import guided_filter  # noqa: E402
+
+
+def save_case(name, net_cfg, scale, in_hw, *, meval=True, seed=0, half=False,
+              input_range=(0.0, 1.0), wrap_swa=False, legacy=False,
+              extra_outputs=None, in_nc=3):
+    torch.manual_seed(seed)
+    cfg = get_network_G_config(dict(net_cfg), scale)
+    net = get_network(dict(cfg))
+    if meval:
+        net.eval()
+    else:
+        net.train()
+    for p in net.parameters():
+        p.requires_grad = False
+
+    h, w = in_hw
+    lo, hi = input_range
+    x = torch.rand(1, in_nc, h, w) * (hi - lo) + lo
+
+    with torch.no_grad():
+        y = net(x)
+
+    outputs = {}
+    if isinstance(y, tuple):
+        for i, yi in enumerate(y):
+            outputs[f"output_{i}"] = yi.numpy().astype(np.float32)
+        y_main = y[2]
+    else:
+        outputs["output"] = y.numpy().astype(np.float32)
+        y_main = y
+
+    if extra_outputs == "guided_filter":
+        with torch.no_grad():
+            gf = guided_filter(x, y_main, r=1, eps=5e-3)
+        outputs["output_gf"] = gf.numpy().astype(np.float32)
+
+    state = net.state_dict()
+    if half:
+        state = {k: v.half() for k, v in state.items()}
+    if wrap_swa:
+        state = {"module.module." + k: v for k, v in state.items()}
+        state["n_averaged"] = torch.tensor(3)
+
+    os.makedirs(OUT, exist_ok=True)
+    torch.save(state, os.path.join(OUT, f"{name}.pth"),
+               _use_new_zipfile_serialization=not legacy)
+    meta = {"cfg": cfg, "scale": scale, "meval": meval, "arch": net_cfg.get("type")}
+    np.savez_compressed(
+        os.path.join(OUT, f"{name}.npz"),
+        input=x.numpy().astype(np.float32),
+        meta=json.dumps(meta),
+        **outputs,
+    )
+    n_params = sum(v.numel() for v in state.values() if v.ndim > 0)
+    print(f"{name}: cfg={meta['arch']} scale={scale} in={tuple(x.shape)} params={n_params}")
+
+
+def save_mesrgan_case(name, nb, nf, in_hw, seed=0):
+    """MRRDBNet saved in the modified layout (conv_first fingerprint)."""
+    torch.manual_seed(seed)
+    cfg = get_network_G_config({"type": "mesrgan", "nb": nb, "nf": nf}, 4)
+    net = get_network(dict(cfg)).eval()
+    x = torch.rand(1, 3, *in_hw)
+    with torch.no_grad():
+        y = net(x)
+    os.makedirs(OUT, exist_ok=True)
+    torch.save(net.state_dict(), os.path.join(OUT, f"{name}.pth"))
+    meta = {"cfg": cfg, "scale": 4, "meval": True, "arch": "mesrgan"}
+    np.savez_compressed(os.path.join(OUT, f"{name}.npz"), input=x.numpy(),
+                        output=y.numpy().astype(np.float32), meta=json.dumps(meta))
+    print(f"{name}: mesrgan scale=4 in={tuple(x.shape)}")
+
+
+def main():
+    # --- ESRGAN / RRDBNet family ---
+    save_case("esrgan_x4", {"type": "esrgan", "nb": 2, "nf": 16}, 4, (24, 24))
+    save_case("esrgan_x2", {"type": "esrgan", "nb": 2, "nf": 16}, 2, (20, 28), seed=1)
+    save_case("esrgan_x1", {"type": "esrgan", "nb": 2, "nf": 16}, 1, (24, 24), seed=2)
+    save_case("esrgan_plus_x2", {"type": "esrgan", "nb": 2, "nf": 16, "plus": True}, 2, (16, 16), seed=3)
+    save_case("esrgan_nr2_x2", {"type": "esrgan", "nb": 2, "nf": 16, "nr": 2}, 2, (16, 16), seed=4)
+    save_case("esrgan_x4_fp16", {"type": "esrgan", "nb": 1, "nf": 16}, 4, (16, 16), seed=5, half=True)
+    save_case("esrgan_x4_swa", {"type": "esrgan", "nb": 1, "nf": 16}, 4, (16, 16), seed=6, wrap_swa=True)
+    save_case("esrgan_x4_legacy", {"type": "esrgan", "nb": 1, "nf": 16}, 4, (16, 16), seed=7, legacy=True)
+    save_mesrgan_case("mesrgan_x4", nb=2, nf=16, in_hw=(16, 16), seed=8)
+
+    # --- SRResNet / SRGAN ---
+    save_case("srresnet_x4", {"type": "srgan", "nb": 3, "nf": 16}, 4, (24, 24), seed=9)
+    save_case("srresnet_x2", {"type": "srgan", "nb": 3, "nf": 16}, 2, (20, 24), seed=10)
+
+    # --- PPON (nf fixed at 64 by the hardcoded _ResBlock_32 width) ---
+    save_case("ppon_x4", {"type": "ppon", "nb": 2}, 4, (16, 16), seed=11, half=True)
+
+    # --- PAN ---
+    save_case("pan_x4", {"type": "pan", "nf": 8, "unf": 6, "nb": 2}, 4, (24, 24), seed=12)
+    save_case("pan_x2", {"type": "pan", "nf": 8, "unf": 6, "nb": 2}, 2, (24, 24), seed=13)
+
+    # --- pix2pix UNet (train-mode BN per pix2pix_extras, run.py:299-303) ---
+    save_case("unet128", {"type": "unet_128", "ngf": 4}, 1, (128, 128),
+              meval=False, seed=14, input_range=(-1.0, 1.0))
+
+    # --- CycleGAN ResNet-9 (instance norm, eval) ---
+    save_case("cyclegan9", {"type": "resnet_9blocks", "ngf": 8}, 1, (64, 48),
+              seed=15, input_range=(-1.0, 1.0))
+
+    # --- WBC (pt and tf modes) + guided filter end-to-end ---
+    save_case("wbc_pt", {"type": "wbcunet", "nf": 8}, 1, (32, 32), meval=False,
+              seed=16, input_range=(-1.0, 1.0), extra_outputs="guided_filter")
+    save_case("wbc_tf", {"type": "wbcunet_tf", "nf": 8}, 1, (32, 32), meval=False,
+              seed=17, input_range=(-1.0, 1.0), extra_outputs="guided_filter")
+
+
+if __name__ == "__main__":
+    main()
