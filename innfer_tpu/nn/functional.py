@@ -57,8 +57,9 @@ def conv2d(
 
     ``padding`` may be an int (symmetric), an (ph, pw) tuple, or an explicit
     [(top, bottom), (left, right)] list for asymmetric (TF-"SAME"-style) pads.
-    Accumulation happens in ``accum_dtype`` (fp32 by default) and the result
-    is cast back to the input dtype.
+    Weights are cast to the activation dtype (bf16 activations can run over
+    fp32-stored params); accumulation happens in ``accum_dtype`` (fp32 by
+    default) and the result is cast back to the input dtype.
     """
     if isinstance(stride, int):
         stride = (stride, stride)
@@ -70,7 +71,7 @@ def conv2d(
         padding = [(padding[0], padding[0]), (padding[1], padding[1])]
     out = lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=stride,
         padding=padding,
         rhs_dilation=dilation,
@@ -115,7 +116,7 @@ def conv_transpose2d(
     ]
     out = lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=(1, 1),
         padding=pads,
         lhs_dilation=stride,
@@ -131,7 +132,7 @@ def dense(x: Array, w: Array, b: Optional[Array] = None, *, accum_dtype=jnp.floa
     """Channel-mixing matmul over the last axis (used for 1x1 Conv1d layers).
 
     ``w`` has layout (I, O)."""
-    out = jnp.dot(x, w, preferred_element_type=accum_dtype)
+    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=accum_dtype)
     if b is not None:
         out = out + b.astype(accum_dtype)
     return out.astype(x.dtype)
