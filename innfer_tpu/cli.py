@@ -1,0 +1,93 @@
+"""Command-line driver.
+
+Keeps the reference CLI semantics (run.py:321-447):
+
+    python -m innfer_tpu.cli -m 4x_model.pth [-a infer] [-i ./input]
+        [-o ./output] [-s N] [-cf] [-comp] [-cpu] [-no_fp16] [-norm]
+
+plus TPU-native controls: --tile/--overlap/--tile-mode for the static tile
+grid, --tile-batch for the per-step tile chunk, --bucket for compile-shape
+bucketing, and --profile for a jax.profiler trace.
+
+-no_fp16 disables low-precision compute; the low-precision mode is bfloat16
+(TPU-native) instead of the reference's fp16.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="innfer-tpu", description=__doc__)
+    p.add_argument("-models", "-m", type=str, required=True, help="Path to models (chain with + or >).")
+    p.add_argument("-arch", "-a", type=str, default="infer", help="Model architecture.")
+    p.add_argument("-input", "-i", type=str, default="./input", help="Path to read input images.")
+    p.add_argument("-output", "-o", type=str, default="./output", help="Path to save output images.")
+    p.add_argument("-scale", "-s", type=int, default=None, help="Model scaling factor.")
+    p.add_argument("-cf", action="store_true", help="Use color correction if enabled.")
+    p.add_argument("-comp", action="store_true", help="Save as comparison images if enabled.")
+    p.add_argument("-no_tpu", "-cpu", dest="cpu", action="store_true", help="Run on CPU.")
+    p.add_argument("-no_fp16", dest="no_lowp", action="store_true",
+                   help="Disable bf16 compute (use fp32).")
+    p.add_argument("-norm", action="store_true", help="Normalize images to [-1,1].")
+    p.add_argument("--models-dir", type=str, default="./models",
+                   help="Directory searched for partial model names.")
+    p.add_argument("--tile", type=int, default=256, help="Tile size (input pixels).")
+    p.add_argument("--overlap", type=int, default=16, help="Tile overlap (input pixels).")
+    p.add_argument("--tile-mode", choices=["uniform", "reference", "none"],
+                   default="uniform", help="Tiling strategy; 'reference' matches the "
+                   "original chop grid, 'none' forces whole-image forwards.")
+    p.add_argument("--tile-batch", type=int, default=8, help="Tiles per compiled step.")
+    p.add_argument("--bucket", type=int, default=0, help="Pad compile shapes to multiples.")
+    p.add_argument("--profile", type=str, default="",
+                   help="Write a jax.profiler trace to this directory.")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from innfer_tpu.pipeline import InferenceSession, select_presets
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    compute_dtype = jnp.float32 if (args.no_lowp or not on_tpu) else jnp.bfloat16
+
+    presets = select_presets(args.arch, args.models, norm_flag=args.norm)
+    if args.tile_mode == "none":
+        presets.chop = False
+
+    session = InferenceSession(
+        args.models,
+        arch=args.arch,
+        models_dir=args.models_dir,
+        presets=presets,
+        compute_dtype=compute_dtype,
+        tile=args.tile,
+        overlap=args.overlap,
+        tile_mode=args.tile_mode if args.tile_mode != "none" else "uniform",
+        tile_batch=args.tile_batch,
+        bucket=args.bucket,
+        scale=args.scale,
+    )
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            session.process(args.input, args.output, use_color_fix=args.cf, comp=args.comp)
+    else:
+        session.process(args.input, args.output, use_color_fix=args.cf, comp=args.comp)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

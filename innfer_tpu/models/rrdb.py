@@ -50,14 +50,45 @@ def _rdb5c(params, x, prefix: str, *, act_type: str, plus: bool):
     return x5 * jnp.asarray(0.2, x.dtype) + x
 
 
-def _rrdb(params, x, prefix: str, *, nr: int, act_type: str, plus: bool):
+def _rdb5c_pallas(params, x, prefix: str, *, plus: bool):
+    """Fused-Pallas RDB (see ops/pallas/rdb.py): used on TPU for square
+    16-multiple tiles with the default leakyrelu/CNA/zero-pad config."""
+    from innfer_tpu.ops.pallas.rdb import fused_rdb
+
+    weights = [params[f"{prefix}.conv{c}.0.weight"] for c in range(1, 6)]
+    biases = [params[f"{prefix}.conv{c}.0.bias"] for c in range(1, 6)]
+    gc = int(weights[0].shape[-1])
+    w1 = params.get(f"{prefix}.conv1x1.weight") if plus else None
+    return fused_rdb(x, weights, biases, gc=gc, plus=plus, conv1x1_w=w1)
+
+
+def _use_pallas(x, act_type: str) -> bool:
+    # NOTE: 'auto' currently resolves to the XLA path: the fused kernel is
+    # numerically verified, but the axon remote compiler crashes on block
+    # sizes large enough to beat XLA (halo overhead dominates at <=32x32
+    # blocks).  Opt in with cfg backend='pallas' (see ops/pallas/rdb.py).
+    return False
+
+
+def _pallas_ok(x, act_type: str) -> bool:
+    if act_type not in ("leakyrelu", "lrelu"):
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    t = x.shape[1]
+    return x.shape[1] == x.shape[2] and t % 16 == 0 and t >= 64
+
+
+def _rrdb(params, x, prefix: str, *, nr: int, act_type: str, plus: bool,
+          backend: str = "auto"):
+    fused = backend == "pallas" or (backend == "auto" and _use_pallas(x, act_type))
     out = x
-    if nr == 3:
-        for name in ("RDB1", "RDB2", "RDB3"):
+    names = ("RDB1", "RDB2", "RDB3") if nr == 3 else tuple(f"RDBs.{i}" for i in range(nr))
+    for name in names:
+        if fused:
+            out = _rdb5c_pallas(params, out, f"{prefix}.{name}", plus=plus)
+        else:
             out = _rdb5c(params, out, f"{prefix}.{name}", act_type=act_type, plus=plus)
-    else:
-        for i in range(nr):
-            out = _rdb5c(params, out, f"{prefix}.RDBs.{i}", act_type=act_type, plus=plus)
     return out * jnp.asarray(0.2, x.dtype) + x
 
 
@@ -77,12 +108,14 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
 
     _n_up, factor = C.n_upscale_blocks(upscale)
     up_convs, hr0 = C.upsample_indices(upscale, mode)
+    backend = cfg.get("backend", "auto")  # auto | pallas | xla
 
     def apply(params, x: jax.Array) -> jax.Array:
         fea = C.conv3x3(params, x, "model.0")
         t = fea
         for i in range(nb):
-            t = _rrdb(params, t, f"model.1.sub.{i}", nr=nr, act_type=act_type, plus=plus)
+            t = _rrdb(params, t, f"model.1.sub.{i}", nr=nr, act_type=act_type,
+                      plus=plus, backend=backend)
         t = C.conv3x3(params, t, f"model.1.sub.{nb}")
         h = fea + t  # ShortcutBlock (block.py:183-194)
         for ci in up_convs:

@@ -1,0 +1,237 @@
+"""Fused Residual Dense Block (RDB_5C) Pallas TPU kernel.
+
+The ESRGAN trunk is 23 RRDB x 3 RDB x 5 chained 3x3 convs — ~96% of model
+FLOPs (reference RRDBNet_arch.py:100-165).  XLA runs each conv as a
+separate HBM-materialized im2col + narrow-N matmul (measured ~24 TF/s on
+v5e).  This kernel fuses one whole RDB:
+
+  * the input block (plus a 5-pixel halo) is DMA'd to VMEM once; all five
+    convs run without touching HBM again,
+  * convs use the mathematically-identical "scatter-wide" form: since
+    conv_c(cat(x, x1..x_{c-1})) = sum_s conv_c_slice_s(x_s), each SOURCE
+    does one wide matmul into all later targets' pre-activation columns
+    (N = 192/160/128/96/64 instead of 32 — fills the 128-wide MXU),
+  * the 3x3 taps are K-packed: per vertical offset dy one matmul with
+    K = 3*C_src over an in-VMEM column trio (im2col exists only in VMEM),
+  * zero-padding semantics of the per-conv torch convs are reproduced by
+    masking intermediates outside the global tile extent.
+
+Mosaic constraints shape the implementation: DMA slices must be
+lane/sublane aligned (input channels padded to 128, window width padded to
+a multiple of 8) and refs are never lane-sliced — all intermediate math is
+value-based (registers/VMEM managed by Mosaic).
+
+ESRGAN+ 'plus' cross-residuals (conv1x1 + x2-into-x4, RRDBNet_arch.py:
+155-160) are applied at the activation step, matching the reference's
+post-activation placement.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO = 5          # receptive radius of 5 chained 3x3 convs
+LANE = 128        # TPU lane width
+W_SLACK = 6       # extra right-pad so the DMA window width is 8-aligned
+
+
+def _pack_source_weights(weights: List[jax.Array], nf: int, gc: int):
+    """Per-source fully-K-packed 9-tap weights: wt[s] (9*C_s, N_s).
+
+    Row order is (dy, dx, channel), matching the in-kernel 9-way shifted
+    concat of the source."""
+    packed = []
+    for s in range(5):
+        c_s = nf if s == 0 else gc
+        lo = 0 if s == 0 else nf + (s - 1) * gc
+        parts = [weights[c - 1][:, :, lo: lo + c_s, :] for c in range(s + 1, 6)]
+        cat = jnp.concatenate(parts, axis=-1)          # (3, 3, C_s, N_s)
+        dy, dx, ci, n = cat.shape
+        packed.append(cat.reshape(dy * dx * ci, n))
+    return packed
+
+
+def _shift_rows(v: jax.Array, k: int) -> jax.Array:
+    """Value with rows shifted so out[i] = v[i + k].
+
+    Shifted-in rows are garbage (wrap or zero), but they land only in the
+    outermost halo ring of the flat canvas, and 5 chained convs propagate
+    boundary garbage at most 5 rings inward — exactly the halo the output
+    crop discards (see kernel docstring).
+
+    Mosaic constraints dictate two code paths:
+      * |k| multiple of the 16-row bf16 sublane tile: slice+concat keeps
+        tile-aligned layouts (used for the +-wp vertical-tap shifts),
+      * small |k| (the +-1 horizontal-tap shifts): tpu.dynamic_rotate only
+        supports 32-bit data, so roll in float32 and cast back.
+    """
+    if k == 0:
+        return v
+    if k % 16 == 0:
+        z = jnp.zeros((abs(k), v.shape[1]), v.dtype)
+        if k > 0:
+            return jnp.concatenate([v[k:], z], axis=0)
+        return jnp.concatenate([z, v[:k]], axis=0)
+    rolled = pltpu.roll(v.astype(jnp.float32), (-k) % v.shape[0], 0)
+    return rolled.astype(v.dtype)
+
+
+def _rdb_kernel(
+    xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, out_ref,
+    x_vm, sem,
+    *, nf: int, gc: int, bh: int, bw: int, t: int, plus: bool,
+    neg_slope: float, acc_dtype,
+):
+    by = pl.program_id(1)
+    bx = pl.program_id(2)
+    hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
+    pp = hp * wp
+    n_total = 4 * gc + nf
+
+    cp = pltpu.make_async_copy(
+        xp_hbm.at[pl.program_id(0), pl.ds(by * bh, hp), pl.ds(bx * bw, wp), :],
+        x_vm, sem,
+    )
+    cp.start()
+    cp.wait()
+
+    xf = x_vm[:].reshape(pp, LANE)[:, :nf]  # drop the lane padding
+
+    # mask: positions whose GLOBAL coords fall outside the tile must read as
+    # zero for the next conv (the reference zero-pads every conv)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) // wp
+    colid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) % wp
+    g_row = by * bh + rowid
+    g_col = bx * bw + colid
+    valid = (
+        (g_row >= HALO) & (g_row < HALO + t) & (g_col >= HALO) & (g_col < HALO + t)
+    )
+
+    def source_contrib(src, wt_ref):
+        """One matmul per source: 9-way shifted lane-concat (im2col in
+        registers/VMEM) @ (9*C_s, N_s) tap-packed weights."""
+        taps = [
+            _shift_rows(src, dy * wp + dx)
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+        nine = jnp.concatenate(taps, axis=1)  # (pp, 9*c_s)
+        return jnp.dot(nine, wt_ref[:], preferred_element_type=jnp.float32)
+
+    def pad_cols(v, col0):
+        if col0 == 0:
+            return v
+        return jnp.concatenate(
+            [jnp.zeros((pp, col0), v.dtype), v], axis=1
+        )
+
+    def act(pre):
+        a = jnp.where(pre >= 0, pre, pre * neg_slope)
+        a = jnp.where(valid, a, 0.0)
+        # The lane-offset layout of the acc column slice would poison the
+        # later shifted concats ("offset mismatch on non-concat dimension");
+        # a net-zero double rotate in f32 forces a canonical aligned layout.
+        a = pltpu.roll(pltpu.roll(a.astype(jnp.float32), 8, 0), pp - 8, 0)
+        return a.astype(xf.dtype)
+
+    acc = jnp.broadcast_to(bias[:], (pp, n_total)).astype(jnp.float32)
+    acc = acc + source_contrib(xf, wt0)
+    x1 = act(acc[:, 0:gc])
+    acc = acc + pad_cols(source_contrib(x1, wt1), gc)
+    x2 = act(acc[:, gc: 2 * gc])
+    if plus:
+        p = jnp.dot(xf, w1x1[:], preferred_element_type=jnp.float32)
+        x2 = x2 + jnp.where(valid, p, 0.0).astype(xf.dtype)
+    acc = acc + pad_cols(source_contrib(x2, wt2), 2 * gc)
+    x3 = act(acc[:, 2 * gc: 3 * gc])
+    acc = acc + pad_cols(source_contrib(x3, wt3), 3 * gc)
+    x4 = act(acc[:, 3 * gc: 4 * gc])
+    if plus:
+        x4 = x4 + x2
+    acc = acc + pad_cols(source_contrib(x4, wt4), 4 * gc)
+
+    x5 = acc[:, 4 * gc: 4 * gc + nf]
+    out = (x5 * 0.2 + xf.astype(jnp.float32)).astype(xf.dtype)
+    out3 = out.reshape(hp, wp, nf)
+    out_ref[0] = out3[HALO: HALO + bh, HALO: HALO + bw, :]
+
+
+def fused_rdb(
+    x: jax.Array,
+    weights: List[jax.Array],
+    biases: List[jax.Array],
+    *,
+    gc: int = 32,
+    plus: bool = False,
+    conv1x1_w: Optional[jax.Array] = None,
+    block: Tuple[int, int] = (128, 64),
+    acc_dtype=jnp.float32,
+    neg_slope: float = 0.2,
+    interpret: bool = False,
+) -> jax.Array:
+    """One fused ResidualDenseBlock_5C forward.
+
+    x: (B, T, T, nf); weights[c]: HWIO (3,3,nf+c*gc,gc|nf); biases[c]: (Cout,).
+    Returns (B, T, T, nf) = conv-chain output * 0.2 + x.
+    """
+    b, th, tw, nf = x.shape
+    assert th == tw, "square tiles expected"
+    t = th
+    bh, bw = block
+    bh, bw = min(bh, t), min(bw, t)
+    if t % bh or t % bw:
+        bh = bw = t if t <= 128 else [d for d in (128, 64, 32, 16) if t % d == 0][0]
+    hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
+    assert wp % 16 == 0, (
+        f"canvas width {wp} must be a 16-row tile multiple (pick bw in 16s)"
+    )
+
+    wt = _pack_source_weights(weights, nf, gc)
+    bias_vec = jnp.concatenate([bs.astype(jnp.float32) for bs in biases])[None, :]
+    w1 = (
+        conv1x1_w.reshape(nf, gc)
+        if (plus and conv1x1_w is not None)
+        else jnp.zeros((nf, gc), x.dtype)
+    ).astype(x.dtype)
+
+    # zero pad: halo on all sides, extra right slack for DMA alignment, and
+    # channel padding to the 128-lane tile
+    xp = jnp.pad(
+        x,
+        [(0, 0), (HALO, HALO), (HALO, HALO + W_SLACK), (0, LANE - nf)],
+    )
+
+    grid = (b, t // bh, t // bw)
+    kernel = functools.partial(
+        _rdb_kernel, nf=nf, gc=gc, bh=bh, bw=bw, t=t, plus=plus,
+        neg_slope=neg_slope, acc_dtype=acc_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # xp: HBM, manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wt0
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1x1
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bh, bw, nf), lambda b_, i, j: (b_, i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, t, nf), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp, LANE), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, wt[0], wt[1], wt[2], wt[3], wt[4], bias_vec, w1)

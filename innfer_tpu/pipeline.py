@@ -1,0 +1,308 @@
+"""Inference pipeline: model chains, per-arch presets, device pre/post.
+
+TPU-native equivalent of the reference driver logic (run.py:229-447):
+
+  * model-chain parsing ('+'/'>' separators, exact path -> ./models ->
+    case-insensitive substring search, scale from 'Nx_' filename prefix)
+  * per-arch-family presets (pix2pix / cyclegan / default extras:
+    eval-mode, strict loading, [-1,1] normalization, chop, resize,
+    guided filter, modcrop; run.py:299-379)
+  * device-side np<->tensor conversion fused into the graph (dtype-aware
+    range scaling, BGR<->RGB, optional [-1,1] norm; utils.py:164-248)
+  * per-stage execution: tiled (TiledRunner) or whole-image jit, chained.
+
+bfloat16 replaces the reference's fp16 default (run.py:382-383); fp32
+accumulation is preserved inside every conv (innfer_tpu.nn.functional).
+"""
+from __future__ import annotations
+
+import os.path as osp
+import re
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from innfer_tpu.io import images as iio
+from innfer_tpu.loader import load_model
+from innfer_tpu.models.base import ModelDef, Params, cast_params
+from innfer_tpu.ops import colors
+from innfer_tpu.ops.filters import color_fix, guided_filter
+from innfer_tpu.tiling.engine import TiledRunner
+
+# ---------------------------------------------------------------------------
+# Presets (reference run.py:299-315)
+# ---------------------------------------------------------------------------
+
+PIX2PIX_EXTRAS = dict(meval=False, strict=True, normalize=True)
+CYCLEGAN_EXTRAS = dict(meval=True, strict=False, normalize=True)
+DEFAULT_EXTRAS = dict(meval=True, strict=True, normalize=False)
+
+
+@dataclass
+class Presets:
+    meval: bool = True
+    strict: bool = True
+    normalize: bool = False
+    chop: bool = True
+    resize: int = 0           # linear_resize target (unet/p2p families)
+    use_guided_filter: bool = False
+    use_modcrop: bool = False
+    arch: str = "infer"
+
+
+def select_presets(arch: str, models_arg: str = "", norm_flag: bool = False) -> Presets:
+    """Arch-family preset selection (run.py:347-379)."""
+    p = Presets(arch=arch)
+    if "unet_" in arch or "p2p_" in arch:
+        p.meval, p.strict, p.normalize = (
+            PIX2PIX_EXTRAS["meval"], PIX2PIX_EXTRAS["strict"], PIX2PIX_EXTRAS["normalize"])
+        p.chop = False
+        for size in (512, 256, 128):
+            if str(size) in arch:
+                p.resize = size
+                break
+        else:
+            p.resize = 256
+    elif "resnet_" in arch or "cg_" in arch:
+        p.meval, p.strict, p.normalize = (
+            CYCLEGAN_EXTRAS["meval"], CYCLEGAN_EXTRAS["strict"], CYCLEGAN_EXTRAS["normalize"])
+        p.chop = True
+    elif "wbc" in arch or "wbc" in models_arg:
+        p.arch = "wbcunet_tf" if ("tf" in arch or "tf" in models_arg) else "wbcunet"
+        p.meval, p.strict, p.normalize = (
+            PIX2PIX_EXTRAS["meval"], PIX2PIX_EXTRAS["strict"], PIX2PIX_EXTRAS["normalize"])
+        p.chop = False
+        p.use_guided_filter = True
+        p.use_modcrop = True
+    if norm_flag:
+        p.normalize = True
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Model-chain resolution (run.py:229-293)
+# ---------------------------------------------------------------------------
+
+def check_model_path(model_path: str, all_models: Optional[Sequence[str]] = None,
+                     models_dir: str = "./models") -> str:
+    if osp.isfile(model_path):
+        return model_path
+    alt = osp.join(models_dir, model_path)
+    if osp.isfile(alt):
+        return alt
+    if all_models:
+        matches = [m for m in all_models if model_path.lower() in str(m).lower()]
+        if len(matches) > 1:
+            raise ValueError(f"Filter {model_path} returned multiple models: {matches}.")
+        if matches:
+            return matches[0]
+    raise ValueError(f"Model {model_path} not found.")
+
+
+def get_scale_name(model_path: str, scale: Optional[int] = None) -> Optional[int]:
+    """Scale from the 'Nx'/'xN' two-char filename prefix (run.py:278-293)."""
+    prefix = str(osp.basename(model_path)[0:2]).lower()
+    rlt = None
+    if "x" in prefix:
+        try:
+            rlt = int(prefix.replace("x", ""))
+        except ValueError:
+            rlt = None
+    if scale:
+        if rlt and scale != rlt:
+            print(f"Warning: possible model scale mismatch on {model_path}")
+        return scale
+    return rlt
+
+
+def parse_models(models_arg: str, scales: Optional[List[Optional[int]]] = None,
+                 models_dir: str = "./models") -> Tuple[List[str], List[Optional[int]]]:
+    chain = models_arg.split("+") if "+" in models_arg else models_arg.split(">")
+    try:
+        all_models = iio.get_models_paths(models_dir)
+    except AssertionError:
+        all_models = None
+    paths = [check_model_path(m, all_models, models_dir) for m in chain]
+    if scales is None:
+        scales = [get_scale_name(p) for p in paths]
+    elif len(scales) != len(paths):
+        raise ValueError(
+            f"The num. of scales {len(scales)} is != from number of models {len(paths)}")
+    return paths, scales
+
+
+# ---------------------------------------------------------------------------
+# Device pre/post conversion (utils.py:164-248, fused on device)
+# ---------------------------------------------------------------------------
+
+def np2tensor(img: np.ndarray, *, normalize: bool = False, dtype=jnp.float32) -> jax.Array:
+    """HWC BGR uint8/uint16 numpy -> (1, H, W, C) RGB float device array."""
+    if not isinstance(img, np.ndarray):
+        raise TypeError("Got unexpected object type, expected np.ndarray")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    maxval = iio.MAX_VALUES_BY_DTYPE.get(img.dtype, 1.0)
+    x = jnp.asarray(img, dtype=jnp.float32) / maxval
+    c = x.shape[-1]
+    if c % 3 == 0:
+        x = colors.bgr_to_rgb(x)
+    elif c == 4:
+        x = colors.bgra_to_rgba(x)
+    if normalize:
+        x = colors.norm(x)
+    return x[None].astype(dtype)
+
+
+def tensor2np(x: jax.Array, *, denormalize: bool = False) -> np.ndarray:
+    """(1, H, W, C) RGB float -> HWC BGR uint8 numpy (utils.py:197-248)."""
+    x = x[0].astype(jnp.float32)
+    c = x.shape[-1]
+    if c == 3:
+        x = colors.rgb_to_bgr(x)
+    elif c == 4:
+        x = colors.rgba_to_bgra(x)
+    if denormalize:
+        x = colors.denorm(x)
+    x = jnp.round(jnp.clip(255.0 * x, 0, 255))
+    return np.asarray(x).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Per-stage execution
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Stage:
+    """One model in the chain plus its compiled runner."""
+
+    model: ModelDef
+    params: Params
+    chop: bool
+    runner: Optional[TiledRunner] = None
+    _whole_jit: Any = None
+    _whole_cache: dict = field(default_factory=dict)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.chop and self.runner is not None:
+            return self.runner(self.params, x)
+        if self._whole_jit is None:
+            def fwd(params, data):
+                out = self.model.apply(params, data)
+                if self.model.output_index is not None:
+                    out = out[self.model.output_index]
+                return out
+            self._whole_jit = jax.jit(fwd)
+        return self._whole_jit(self.params, x)
+
+
+class InferenceSession:
+    """A loaded model chain ready to process images.
+
+    The TPU replacement for the reference's per-image main loop
+    (run.py:404-442): chained stages, optional guided filter between wbc
+    stages, color-fix post, comparison output.
+    """
+
+    def __init__(
+        self,
+        models_arg: str,
+        *,
+        arch: str = "infer",
+        models_dir: str = "./models",
+        presets: Optional[Presets] = None,
+        compute_dtype=jnp.bfloat16,
+        tile: int = 256,
+        overlap: int = 16,
+        tile_mode: str = "uniform",
+        tile_batch: int = 8,
+        bucket: int = 0,
+        mesh=None,
+        scale: Optional[int] = None,
+    ):
+        self.presets = presets or select_presets(arch, models_arg)
+        self.compute_dtype = compute_dtype
+        paths, scales = parse_models(models_arg, [scale] * len(models_arg.split("+"))
+                                     if scale else None, models_dir)
+        self.stages: List[Stage] = []
+        for path, sc in zip(paths, scales):
+            model, params = load_model(
+                path, arch=self.presets.arch, scale=sc,
+                strict=self.presets.strict, param_dtype=compute_dtype,
+            )
+            if not self.presets.meval:
+                model.cfg["meval"] = False
+                # rebuild with train-mode norm behavior (pix2pix BN)
+                from innfer_tpu.models import get_network
+
+                rebuilt = get_network(model.cfg)
+                rebuilt.remap = model.remap
+                model = rebuilt
+            runner = None
+            if self.presets.chop:
+                runner = TiledRunner(
+                    model.apply, model.scale, mode=tile_mode, tile=tile,
+                    overlap=overlap, tile_batch=tile_batch, bucket=bucket,
+                    output_index=model.output_index, mesh=mesh,
+                    compute_dtype=compute_dtype,
+                )
+            self.stages.append(Stage(model, params, self.presets.chop, runner))
+
+    @property
+    def total_scale(self) -> int:
+        s = 1
+        for st in self.stages:
+            s *= st.model.scale
+        return s
+
+    def prepare(self, img: np.ndarray) -> np.ndarray:
+        if self.presets.resize:
+            img = iio.linear_resize(img, self.presets.resize)
+        if self.presets.use_modcrop:
+            img = iio.modcrop(img, 4)
+        return img
+
+    def run_image(self, img: np.ndarray) -> np.ndarray:
+        """Full per-image pipeline: prepare -> chain -> uint8 BGR out."""
+        img = self.prepare(img)
+        t_img = np2tensor(img, normalize=self.presets.normalize,
+                          dtype=self.compute_dtype)
+        t_out = t_img
+        for stage in self.stages:
+            t_out = stage(t_out)
+            if self.presets.use_guided_filter:
+                t_out = guided_filter(t_img, t_out, r=1, eps=5e-3)
+        return tensor2np(t_out, denormalize=self.presets.normalize)
+
+    def process(
+        self,
+        input_dir: str,
+        output_dir: str,
+        *,
+        use_color_fix: bool = False,
+        comp: bool = False,
+        verbose: bool = True,
+    ) -> List[str]:
+        """Process a directory of images; returns written paths."""
+        written = []
+        for image_path in iio.get_images_paths(input_dir):
+            name = osp.splitext(osp.basename(image_path))[0]
+            img = iio.read_img(image_path)
+            if img is None:
+                print(f"Error reading image {image_path}, skipping.")
+                continue
+            img_in = self.prepare(img)
+            out = self.run_image(img)
+            if use_color_fix:
+                out = np.asarray(color_fix(jnp.asarray(img_in), jnp.asarray(out)))
+            dst = osp.join(output_dir, f"{name}.png")
+            if comp:
+                iio.save_img_comp([img_in, out], dst)
+            else:
+                iio.save_img(out, dst)
+            written.append(dst)
+            if verbose:
+                print(f"{image_path} -> {dst} {out.shape[1]}x{out.shape[0]}")
+        return written

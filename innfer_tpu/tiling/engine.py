@@ -1,0 +1,205 @@
+"""Static-shape tiled inference engine.
+
+Replaces the reference's serial batch-1 chop loop (run.py:167-202, ~200
+forwards per 1080p image with per-patch cuda.empty_cache) with:
+
+  1. one vectorized gather that extracts ALL overlap tiles as a single
+     (N, T, T, C) batch (two axis-gathers, no data-dependent shapes),
+  2. a chunked, jitted batched forward (lax.map over fixed-size chunks to
+     bound activation memory; chunk optionally sharded across a device mesh
+     for tile-level data parallelism over ICI),
+  3. a fused seam-blend recompose: tiles are weighted by the precomputed
+     blend patch and scatter-added into row strips then into the canvas,
+     followed by one multiply with the precomputed reciprocal weight canvas
+     (all plan constants are baked into the executable).
+
+Everything is compiled per TilePlan; plans are cached by (H, W) bucket.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from innfer_tpu.tiling.plan import TilePlan, make_reference_plan, make_uniform_plan
+
+Array = jax.Array
+
+
+def pad_image(x: Array, plan: TilePlan) -> Array:
+    """Reflect-pad (1, H, W, C) to the plan's padded size.  Falls back to
+    edge padding when the pad is too large for reflection."""
+    ph, pw = plan.pad_h - plan.in_h, plan.pad_w - plan.in_w
+    if ph == 0 and pw == 0:
+        return x
+    mode = "reflect" if (ph < plan.in_h and pw < plan.in_w) else "edge"
+    return jnp.pad(x, [(0, 0), (0, ph), (0, pw), (0, 0)], mode=mode)
+
+
+def extract_tiles(x: Array, plan: TilePlan) -> Array:
+    """(1, pad_h, pad_w, C) -> (N, T, T, C) via two static gathers."""
+    t = plan.tile
+    h_idx = jnp.asarray(np.asarray(plan.starts_h)[:, None] + np.arange(t)[None])
+    w_idx = jnp.asarray(np.asarray(plan.starts_w)[:, None] + np.arange(t)[None])
+    rows = x[0][h_idx]                # (nh, T, pad_w, C)
+    tiles = rows[:, :, w_idx]         # (nh, T, nw, T, C)
+    tiles = tiles.transpose(0, 2, 1, 3, 4)
+    return tiles.reshape(plan.n_tiles, t, t, x.shape[-1])
+
+
+def recompose_tiles(tiles_sr: Array, plan: TilePlan) -> Array:
+    """(N, Ts, Ts, C) SR tiles -> (1, out_h, out_w, C) blended image.
+
+    Reproduces the reference accumulate-then-normalize semantics
+    (utils/utils.py:422-443) as two scatter-adds with static index maps.
+    """
+    nh, nw = len(plan.starts_h), len(plan.starts_w)
+    ts = plan.tile * plan.scale
+    c = tiles_sr.shape[-1]
+    hp, wp = plan.pad_h * plan.scale, plan.pad_w * plan.scale
+
+    blend = jnp.asarray(plan.blend)[..., None]
+    wt = tiles_sr.astype(jnp.float32) * blend
+
+    col_idx = jnp.asarray(
+        np.concatenate([s * plan.scale + np.arange(ts) for s in plan.starts_w])
+    )
+    row_idx = jnp.asarray(
+        np.concatenate([s * plan.scale + np.arange(ts) for s in plan.starts_h])
+    )
+
+    t5 = wt.reshape(nh, nw, ts, ts, c).transpose(0, 2, 1, 3, 4).reshape(nh, ts, nw * ts, c)
+    strips = jnp.zeros((nh, ts, wp, c), jnp.float32).at[:, :, col_idx, :].add(t5)
+    canvas = jnp.zeros((hp, wp, c), jnp.float32).at[row_idx].add(
+        strips.reshape(nh * ts, wp, c)
+    )
+    canvas = canvas * jnp.asarray(plan.inv_weight)
+    return canvas[None, : plan.out_h, : plan.out_w, :]
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def tiled_apply(
+    apply_fn: Callable,
+    params,
+    x: Array,
+    plan: TilePlan,
+    *,
+    tile_batch: int = 8,
+    output_index: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+    compute_dtype=None,
+) -> Array:
+    """Run ``apply_fn`` over all tiles of ``x`` (1, H, W, C) and recompose.
+
+    Designed to live inside jit: all shapes derive from the static plan.
+    ``tile_batch`` is the per-chunk tile count (memory bound); on a mesh it
+    must be a multiple of the data-axis size and each chunk is sharded
+    across devices.
+    """
+    xp = pad_image(x, plan)
+    tiles = extract_tiles(xp, plan)
+    if compute_dtype is not None:
+        tiles = tiles.astype(compute_dtype)
+
+    n = plan.n_tiles
+    chunk = min(tile_batch, n) if mesh is None else tile_batch
+    n_padded = _round_up(n, chunk)
+    if n_padded != n:
+        tiles = jnp.pad(tiles, [(0, n_padded - n), (0, 0), (0, 0), (0, 0)])
+    groups = tiles.reshape(n_padded // chunk, chunk, plan.tile, plan.tile, -1)
+
+    if mesh is not None:
+        spec = NamedSharding(mesh, P(None, data_axis, None, None, None))
+        groups = jax.lax.with_sharding_constraint(groups, spec)
+
+    def fwd(batch):
+        out = apply_fn(params, batch)
+        if output_index is not None:
+            out = out[output_index]
+        return out
+
+    out_tiles = jax.lax.map(fwd, groups)
+    ts = plan.tile * plan.scale
+    out_tiles = out_tiles.reshape(n_padded, ts, ts, -1)[:n]
+    return recompose_tiles(out_tiles, plan)
+
+
+class TiledRunner:
+    """Convenience wrapper: plan cache + jitted executables per image size.
+
+    The TPU-native replacement for Model.chop_forward + __call__
+    (run.py:167-225): arbitrary image sizes hit a small set of compiled
+    shapes via bucketing, tiles run as one batched forward (optionally
+    sharded across a mesh), and the blend runs fused on device.
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        scale: int,
+        *,
+        mode: str = "uniform",
+        tile: int = 256,
+        overlap: int = 16,
+        patch: int = 200,
+        step: float = 0.5,
+        tile_batch: int = 8,
+        bucket: int = 0,
+        output_index: Optional[int] = None,
+        mesh: Optional[Mesh] = None,
+        compute_dtype=None,
+    ):
+        self.apply_fn = apply_fn
+        self.scale = scale
+        self.mode = mode
+        self.tile = tile
+        self.overlap = overlap
+        self.patch = patch
+        self.step = step
+        self.tile_batch = tile_batch
+        self.bucket = bucket
+        self.output_index = output_index
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+        self._compiled = {}
+        self._plans = {}
+
+    def plan_for(self, h: int, w: int) -> TilePlan:
+        plan = self._plans.get((h, w))
+        if plan is None:
+            if self.mode == "reference":
+                plan = make_reference_plan(h, w, self.scale, patch=self.patch, step=self.step)
+            else:
+                plan = make_uniform_plan(
+                    h, w, self.scale, tile=self.tile, overlap=self.overlap, bucket=self.bucket
+                )
+            self._plans[(h, w)] = plan
+        return plan
+
+    def __call__(self, params, x: Array) -> Array:
+        h, w = x.shape[1], x.shape[2]
+        plan = self.plan_for(h, w)
+        key = (plan.pad_h, plan.pad_w, plan.tile, x.dtype, x.shape[-1])
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    tiled_apply,
+                    self.apply_fn,
+                    tile_batch=self.tile_batch,
+                    output_index=self.output_index,
+                    mesh=self.mesh,
+                    compute_dtype=self.compute_dtype,
+                ),
+                static_argnames=("plan",),
+            )
+            self._compiled[key] = fn
+        return fn(params, x, plan=plan)

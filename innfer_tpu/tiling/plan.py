@@ -1,0 +1,189 @@
+"""Static tile plans: where tiles come from and how they blend back.
+
+The reference's chop_forward (/root/reference/run.py:167-202) extracts
+overlapping patches with torch.unfold plus clamped edge tiles, runs them
+serially at batch 1, and recomposes with a linear seam ramp
+(utils/utils.py:318-445).  On TPU everything must be shape-static: a
+``TilePlan`` precomputes (in numpy, at trace time) the tile start offsets,
+the separable blend profile, and the reciprocal of the accumulated weight
+canvas, so the jitted engine sees only constants + one batched forward.
+
+Two planning modes:
+
+* ``uniform``  — pad the image to an exact tile grid (reflect padding) so
+  every tile sits at ``i*stride``; recompose is a regular overlap-add and
+  the result is cropped back.  This is the fast path: minimal overlap waste
+  and XLA-friendly regularity.
+* ``reference`` — byte-compatible with the reference grid: patch size
+  ``min(H, W, 200)``, 50% step, trailing edge tiles clamped to the image
+  boundary, and the exact 0.1->1.0 overlap ramp (utils/utils.py:413-420).
+  Used for parity testing and for users who want bit-identical seams.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+
+def _starts(total: int, patch: int, step: int) -> List[int]:
+    """Window starts of torch.unfold plus the clamped edge tile
+    (utils/utils.py:354-362)."""
+    s = list(range(0, total - patch + 1, step))
+    if (total - patch) % step != 0:
+        s.append(total - patch)
+    return s
+
+
+def _reference_blend(patch_sr: int, overlap: int) -> np.ndarray:
+    """Separable blend profile: linspace(0.1, 1, overlap) ramps on both ends
+    (utils/utils.py:413-416).  torch.linspace semantics (inclusive ends)."""
+    if overlap > 0:
+        ramp_in = np.linspace(0.1, 1.0, overlap, dtype=np.float64)
+        mid = np.ones(max(patch_sr - 2 * overlap, 0), dtype=np.float64)
+        prof = np.concatenate([ramp_in, mid, ramp_in[::-1]])
+    else:
+        prof = np.ones(patch_sr, dtype=np.float64)
+    return prof[: patch_sr]
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class TilePlan:
+    """Everything static about one tiling configuration.
+
+    ``eq=False``: plans hash by identity so they can be jit static args
+    (they hold numpy constants); cache and reuse a plan per image size.
+    """
+
+    in_h: int
+    in_w: int
+    pad_h: int          # padded input height (uniform mode; == in_h for reference)
+    pad_w: int
+    tile: int           # input-space tile size
+    scale: int
+    starts_h: Tuple[int, ...]  # input-space tile starts (within padded image)
+    starts_w: Tuple[int, ...]
+    blend: np.ndarray          # (tile*scale, tile*scale) float32 blend patch
+    inv_weight: np.ndarray     # (pad_h*scale, pad_w*scale, 1) reciprocal canvas
+
+    @property
+    def n_tiles(self) -> int:
+        return len(self.starts_h) * len(self.starts_w)
+
+    @property
+    def out_h(self) -> int:
+        return self.in_h * self.scale
+
+    @property
+    def out_w(self) -> int:
+        return self.in_w * self.scale
+
+
+def _weight_canvas(plan_h: int, plan_w: int, starts_h, starts_w, blend: np.ndarray) -> np.ndarray:
+    canvas = np.zeros((plan_h, plan_w), dtype=np.float64)
+    t = blend.shape[0]
+    for sh in starts_h:
+        for sw in starts_w:
+            canvas[sh: sh + t, sw: sw + t] += blend
+    return canvas
+
+
+def make_uniform_plan(
+    h: int, w: int, scale: int, *, tile: int = 256, overlap: int = 16,
+    bucket: int = 0,
+) -> TilePlan:
+    """Uniform-grid plan over a reflect-padded image.
+
+    ``bucket`` > 0 rounds the padded size up to a multiple, so nearby image
+    sizes share one compiled executable.
+    """
+    if overlap >= tile:
+        raise ValueError("overlap must be smaller than tile")
+    stride = tile - overlap
+
+    def padded(dim: int) -> int:
+        if dim <= tile:
+            n = 1
+        else:
+            n = int(np.ceil((dim - overlap) / stride))
+        p = n * stride + overlap
+        if bucket:
+            # keep grid validity: round the tile count up instead of raw size
+            while p < int(np.ceil(dim / bucket)) * bucket:
+                n += 1
+                p = n * stride + overlap
+        return max(p, tile)
+
+    ph, pw = padded(h), padded(w)
+    starts_h = tuple(range(0, ph - tile + 1, stride))
+    starts_w = tuple(range(0, pw - tile + 1, stride))
+
+    t_sr = tile * scale
+    prof = _reference_blend(t_sr, overlap * scale)
+    blend = np.outer(prof, prof)
+
+    sh_sr = [s * scale for s in starts_h]
+    sw_sr = [s * scale for s in starts_w]
+    canvas = _weight_canvas(ph * scale, pw * scale, sh_sr, sw_sr, blend)
+    inv = (1.0 / canvas).astype(np.float32)[..., None]
+
+    return TilePlan(
+        in_h=h, in_w=w, pad_h=ph, pad_w=pw, tile=tile, scale=scale,
+        starts_h=starts_h, starts_w=starts_w,
+        blend=blend.astype(np.float32), inv_weight=inv,
+    )
+
+
+def make_reference_plan(h: int, w: int, scale: int, *, patch: int = 200,
+                        step: float = 0.5) -> TilePlan:
+    """Reproduce the reference chop grid exactly (run.py:167-202).
+
+    The extraction grid (input space, utils.py:354-362) and the recompose
+    grid (SR space, utils.py:407-409,425-426) are computed independently by
+    the reference; they agree for even patch sizes.  We verify agreement and
+    reject the degenerate odd-patch case the reference silently corrupts.
+    """
+    if not (0.5 <= step <= 1.0):
+        raise ValueError("step must be in [0.5, 1.0] (utils/utils.py:391)")
+    p = min(h, w, patch)
+    step_in = int(p * step)
+
+    starts_h = _starts(h, p, step_in)
+    starts_w = _starts(w, p, step_in)
+
+    # recompose-side grid (SR space with clamping, utils.py:425-426,439-440)
+    p_sr = p * scale
+    full_h, full_w = h * scale, w * scale
+    eff = int(step * p_sr)
+    step_sr = int(p_sr * step)
+    nrow = 1 + (max(full_h, p_sr) - p_sr) // step_sr
+    ncol = 1 + (max(full_w, p_sr) - p_sr) // step_sr
+    n_h = nrow + 1 if (max(full_h, p_sr) - p_sr) % step_sr != 0 else nrow
+    n_w = ncol + 1 if (max(full_w, p_sr) - p_sr) % step_sr != 0 else ncol
+    if (n_h, n_w) != (len(starts_h), len(starts_w)):
+        raise ValueError(
+            f"reference tiling grids disagree for H={h} W={w} patch={p} "
+            f"step={step} (odd patch sizes corrupt the reference recompose); "
+            "use the uniform planner instead"
+        )
+    rec_h = tuple(min(i * eff, full_h - p_sr) for i in range(n_h))
+    rec_w = tuple(min(i * eff, full_w - p_sr) for i in range(n_w))
+    # extraction starts (in SR space) must match the recompose placement
+    if rec_h != tuple(s * scale for s in starts_h) or rec_w != tuple(
+        s * scale for s in starts_w
+    ):
+        raise ValueError(
+            "reference extraction/recompose grids disagree; use uniform mode"
+        )
+
+    overlap = scale * int(round((1.0 - step) * (p_sr / scale)))
+    blend = np.outer(_reference_blend(p_sr, overlap), _reference_blend(p_sr, overlap))
+    canvas = _weight_canvas(full_h, full_w, rec_h, rec_w, blend)
+    inv = (1.0 / canvas).astype(np.float32)[..., None]
+
+    return TilePlan(
+        in_h=h, in_w=w, pad_h=h, pad_w=w, tile=p, scale=scale,
+        starts_h=tuple(starts_h), starts_w=tuple(starts_w),
+        blend=blend.astype(np.float32), inv_weight=inv,
+    )

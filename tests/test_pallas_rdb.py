@@ -1,0 +1,79 @@
+"""Fused Pallas RDB kernel vs the XLA reference path (interpret mode).
+
+The kernel must be bit-faithful to the unfused conv chain in fp32 (same
+fp32 accumulation order per conv; scatter-wide regrouping is exact in
+exact arithmetic and agrees to ~1e-7 in fp32).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from innfer_tpu.ops.pallas.rdb import fused_rdb
+
+
+def _make_rdb(rng, nf, gc):
+    ws, bs = [], []
+    for c in range(1, 6):
+        cin = nf + (c - 1) * gc
+        cout = gc if c < 5 else nf
+        ws.append(jnp.asarray(
+            rng.standard_normal((3, 3, cin, cout)).astype(np.float32) / np.sqrt(cin * 9)))
+        bs.append(jnp.asarray(rng.standard_normal(cout).astype(np.float32) * 0.02))
+    return ws, bs
+
+
+def _xla_rdb(x, ws, bs, plus=False, w1=None):
+    conv = lambda t, w, b: lax.conv_general_dilated(
+        t, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    lr = lambda t: jnp.where(t >= 0, t, 0.2 * t)
+    cat = lambda *ts: jnp.concatenate(ts, -1)
+    x1 = lr(conv(x, ws[0], bs[0]))
+    x2 = lr(conv(cat(x, x1), ws[1], bs[1]))
+    if plus:
+        x2 = x2 + lax.conv_general_dilated(
+            x, w1, (1, 1), [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x3 = lr(conv(cat(x, x1, x2), ws[2], bs[2]))
+    x4 = lr(conv(cat(x, x1, x2, x3), ws[3], bs[3]))
+    if plus:
+        x4 = x4 + x2
+    x5 = conv(cat(x, x1, x2, x3, x4), ws[4], bs[4])
+    return x5 * 0.2 + x
+
+
+@pytest.mark.parametrize("nf,gc,t,block", [
+    (64, 32, 32, (16, 16)),
+    (64, 32, 64, (32, 16)),   # multi-block grid in both dims
+    (32, 16, 32, (16, 16)),   # esrgan-lite widths
+])
+def test_fused_rdb_matches_xla(rng, nf, gc, t, block):
+    ws, bs = _make_rdb(rng, nf, gc)
+    x = jnp.asarray(rng.standard_normal((2, t, t, nf)).astype(np.float32))
+    ref = _xla_rdb(x, ws, bs)
+    out = fused_rdb(x, ws, bs, gc=gc, block=block, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=3e-6)
+
+
+def test_fused_rdb_plus(rng):
+    nf, gc = 64, 32
+    ws, bs = _make_rdb(rng, nf, gc)
+    w1 = jnp.asarray(rng.standard_normal((1, 1, nf, gc)).astype(np.float32) / 8)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, nf)).astype(np.float32))
+    ref = _xla_rdb(x, ws, bs, plus=True, w1=w1)
+    out = fused_rdb(x, ws, bs, gc=gc, plus=True, conv1x1_w=w1, block=(16, 16),
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=3e-6)
+
+
+def test_fused_rdb_bf16_close(rng):
+    nf, gc = 64, 32
+    ws, bs = _make_rdb(rng, nf, gc)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, nf)).astype(np.float32))
+    ref = _xla_rdb(x, ws, bs)
+    out = fused_rdb(x.astype(jnp.bfloat16),
+                    [w.astype(jnp.bfloat16) for w in ws], bs,
+                    gc=gc, block=(16, 16), interpret=True)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max()
+    assert err < 0.05, err  # bf16 resolution over a 5-conv chain

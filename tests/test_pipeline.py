@@ -1,0 +1,167 @@
+"""Pipeline/CLI tests: chain parsing, presets, conversions, end-to-end runs."""
+import os
+import os.path as osp
+
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from innfer_tpu.pipeline import (
+    InferenceSession, Presets, check_model_path, get_scale_name, np2tensor,
+    parse_models, select_presets, tensor2np,
+)
+
+GOLDENS = osp.join(osp.dirname(__file__), "goldens")
+
+
+class TestChainParsing:
+    def test_scale_from_name(self, tmp_path):
+        assert get_scale_name("4x_foo.pth") == 4
+        assert get_scale_name("x2_bar.pth") == 2
+        assert get_scale_name("model.pth") is None
+        assert get_scale_name("4x_foo.pth", scale=2) == 2  # explicit wins
+
+    def test_partial_name_search(self, tmp_path):
+        d = tmp_path / "models"
+        d.mkdir()
+        (d / "4x_alpha.pth").write_bytes(b"x")
+        (d / "2x_beta.pth").write_bytes(b"x")
+        paths, scales = parse_models("alpha", models_dir=str(d))
+        assert paths[0].endswith("4x_alpha.pth") and scales == [4]
+        with pytest.raises(ValueError):
+            parse_models("x_", models_dir=str(d))  # ambiguous
+        with pytest.raises(ValueError):
+            parse_models("nonexistent", models_dir=str(d))
+
+    def test_chain_separators(self, tmp_path):
+        d = tmp_path / "models"
+        d.mkdir()
+        (d / "zq1.pth").write_bytes(b"x")
+        (d / "vk2.pth").write_bytes(b"x")
+        for sep in ("+", ">"):
+            paths, _ = parse_models(f"zq1{sep}vk2", models_dir=str(d))
+            assert len(paths) == 2
+
+
+class TestPresets:
+    def test_default(self):
+        p = select_presets("infer")
+        assert p.chop and not p.normalize and p.meval and p.strict
+
+    def test_pix2pix(self):
+        p = select_presets("unet_512")
+        assert not p.chop and p.normalize and not p.meval and p.resize == 512
+
+    def test_cyclegan(self):
+        p = select_presets("resnet_9blocks")
+        assert p.chop and p.normalize and not p.strict
+
+    def test_wbc_from_models_arg(self):
+        p = select_presets("infer", models_arg="wbc_smooth.pth")
+        assert p.use_guided_filter and p.use_modcrop and p.arch == "wbcunet"
+        p = select_presets("infer", models_arg="wbc_tf_thing.pth")
+        assert p.arch == "wbcunet_tf"
+
+
+class TestConversions:
+    def test_uint8_roundtrip(self, rng):
+        img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+        t = np2tensor(img)
+        assert t.shape == (1, 13, 17, 3)
+        back = tensor2np(t)
+        np.testing.assert_array_equal(back, img)
+
+    def test_uint16_range(self, rng):
+        img = rng.integers(0, 65536, (8, 8, 3), dtype=np.uint16)
+        t = np2tensor(img)
+        assert float(t.max()) <= 1.0
+
+    def test_normalize_roundtrip(self, rng):
+        img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        t = np2tensor(img, normalize=True)
+        assert float(t.min()) >= -1.0 and float(t.max()) <= 1.0
+        back = tensor2np(t, denormalize=True)
+        np.testing.assert_array_equal(back, img)
+
+    def test_gray_image(self, rng):
+        img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        t = np2tensor(img)
+        assert t.shape == (1, 8, 8, 1)
+
+
+def _write_png(path, h, w, seed=0):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    cv2.imwrite(str(path), img)
+    return img
+
+
+class TestEndToEnd:
+    def test_esrgan_directory(self, tmp_path):
+        inp, out = tmp_path / "in", tmp_path / "out"
+        inp.mkdir()
+        _write_png(inp / "a.png", 40, 56)
+        _write_png(inp / "b.png", 24, 24, seed=1)
+        sess = InferenceSession(
+            osp.join(GOLDENS, "esrgan_x2.pth"),
+            compute_dtype=jnp.float32, tile=16, overlap=8, tile_batch=4,
+        )
+        written = sess.process(str(inp), str(out), verbose=False)
+        assert len(written) == 2
+        im = cv2.imread(str(out / "a.png"))
+        assert im.shape == (80, 112, 3)
+
+    def test_chain_two_models(self, tmp_path):
+        inp, out = tmp_path / "in", tmp_path / "out"
+        inp.mkdir()
+        _write_png(inp / "a.png", 20, 20)
+        chain = osp.join(GOLDENS, "esrgan_x2.pth") + "+" + osp.join(GOLDENS, "esrgan_x4.pth")
+        sess = InferenceSession(chain, compute_dtype=jnp.float32, tile=16,
+                                overlap=8, tile_batch=4)
+        assert sess.total_scale == 8
+        sess.process(str(inp), str(out), verbose=False)
+        im = cv2.imread(str(out / "a.png"))
+        assert im.shape == (160, 160, 3)
+
+    def test_comp_and_colorfix(self, tmp_path):
+        inp, out = tmp_path / "in", tmp_path / "out"
+        inp.mkdir()
+        _write_png(inp / "a.png", 16, 16)
+        sess = InferenceSession(
+            osp.join(GOLDENS, "esrgan_x2.pth"),
+            compute_dtype=jnp.float32, tile=16, overlap=8,
+        )
+        sess.process(str(inp), str(out), use_color_fix=True, comp=True, verbose=False)
+        im = cv2.imread(str(out / "a.png"))
+        # comparison image: input NN-upscaled + output side by side
+        assert im.shape == (32, 64, 3)
+
+    def test_wbc_guided_filter_path(self, tmp_path):
+        inp, out = tmp_path / "in", tmp_path / "out"
+        inp.mkdir()
+        _write_png(inp / "a.png", 34, 34)  # modcrop(4) -> 32x32
+        sess = InferenceSession(
+            osp.join(GOLDENS, "wbc_pt.pth"), arch="infer",
+            presets=select_presets("infer", models_arg="wbc_pt.pth"),
+            compute_dtype=jnp.float32,
+        )
+        sess.process(str(inp), str(out), verbose=False)
+        im = cv2.imread(str(out / "a.png"))
+        assert im.shape == (32, 32, 3)
+
+
+class TestCLI:
+    def test_cli_main(self, tmp_path):
+        from innfer_tpu.cli import main
+
+        inp, out = tmp_path / "in", tmp_path / "out"
+        inp.mkdir()
+        _write_png(inp / "img.png", 20, 28)
+        rc = main([
+            "-m", osp.join(GOLDENS, "esrgan_x2.pth"),
+            "-i", str(inp), "-o", str(out),
+            "--tile", "16", "--overlap", "8", "-no_fp16", "-cpu",
+        ])
+        assert rc == 0
+        assert cv2.imread(str(out / "img.png")).shape == (40, 56, 3)

@@ -1,0 +1,123 @@
+"""Tiled inference engine tests.
+
+Invariants (SURVEY.md §4):
+  * identity blend: recompose(extract(x)) == x exactly (any grid)
+  * reference mode reproduces the torch chop_forward output bit-near
+  * tiled output ~= whole-image output away from seams
+  * sharded (8-device CPU mesh) == single-device
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from innfer_tpu.checkpoint.torch_pickle import load_checkpoint
+from innfer_tpu.loader import load_model_from_state
+from innfer_tpu.tiling.engine import (
+    TiledRunner, extract_tiles, pad_image, recompose_tiles, tiled_apply,
+)
+from innfer_tpu.tiling.plan import make_reference_plan, make_uniform_plan
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def psnr(a, b, peak=None):
+    if peak is None:
+        peak = max(1.0, float(np.abs(b).max()))
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return np.inf if mse == 0 else 10 * np.log10(peak ** 2 / mse)
+
+
+@pytest.mark.parametrize("hw,mode", [
+    ((48, 48), "uniform"), ((50, 67), "uniform"), ((13, 21), "uniform"),
+    ((40, 40), "reference"), ((48, 64), "reference"),
+])
+def test_identity_roundtrip(rng, hw, mode):
+    """extract -> weight -> scatter -> normalize must reconstruct exactly."""
+    h, w = hw
+    x = jnp.asarray(rng.standard_normal((1, h, w, 3), dtype=np.float32))
+    if mode == "uniform":
+        plan = make_uniform_plan(h, w, 1, tile=16, overlap=4)
+    else:
+        plan = make_reference_plan(h, w, 1, patch=16, step=0.5)
+    tiles = extract_tiles(pad_image(x, plan), plan)
+    out = recompose_tiles(tiles, plan)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5, rtol=1e-5)
+
+
+def test_reference_mode_matches_torch_chop():
+    fx = np.load(os.path.join(GOLDENS, "chop_esrgan_x2.npz"))
+    meta = json.loads(str(fx["meta"]))
+    state = load_checkpoint(os.path.join(GOLDENS, "chop_esrgan_x2.pth"))
+    model, params = load_model_from_state(state, dict(meta["cfg"]))
+
+    runner = TiledRunner(model.apply, model.scale, mode="reference",
+                         patch=meta["patch"], step=meta["step"], tile_batch=4)
+    x = jnp.asarray(np.transpose(fx["input"], (0, 2, 3, 1)))
+    out = np.transpose(np.asarray(runner(params, x)), (0, 3, 1, 2))
+    p = psnr(out, fx["output"])
+    assert p >= 80, f"reference-mode chop parity {p:.2f} dB"
+
+
+def test_uniform_vs_whole_image():
+    fx = np.load(os.path.join(GOLDENS, "chop_esrgan_x2.npz"))
+    meta = json.loads(str(fx["meta"]))
+    state = load_checkpoint(os.path.join(GOLDENS, "chop_esrgan_x2.pth"))
+    model, params = load_model_from_state(state, dict(meta["cfg"]))
+
+    runner = TiledRunner(model.apply, model.scale, mode="uniform", tile=16, overlap=8)
+    x = jnp.asarray(np.transpose(fx["input"], (0, 2, 3, 1)))
+    out = np.transpose(np.asarray(runner(params, x)), (0, 3, 1, 2))
+    assert out.shape == fx["whole"].shape
+    p = psnr(out, fx["whole"])
+    assert p >= 30, f"uniform tiling vs whole-image {p:.2f} dB"
+
+
+def test_image_smaller_than_tile():
+    fx = np.load(os.path.join(GOLDENS, "chop_esrgan_x2.npz"))
+    meta = json.loads(str(fx["meta"]))
+    state = load_checkpoint(os.path.join(GOLDENS, "chop_esrgan_x2.pth"))
+    model, params = load_model_from_state(state, dict(meta["cfg"]))
+
+    runner = TiledRunner(model.apply, model.scale, mode="uniform", tile=64, overlap=8)
+    x = jnp.asarray(np.random.default_rng(3).random((1, 17, 23, 3), dtype=np.float32))
+    out = runner(params, x)
+    assert out.shape == (1, 34, 46, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bucketing_shares_plans():
+    runner = TiledRunner(lambda p, x: x, 1, mode="uniform", tile=32, overlap=8, bucket=64)
+    p1 = runner.plan_for(70, 70)
+    p2 = runner.plan_for(90, 90)
+    assert (p1.pad_h, p1.pad_w) == (p2.pad_h, p2.pad_w)
+
+
+def test_sharded_equals_single():
+    fx = np.load(os.path.join(GOLDENS, "chop_esrgan_x2.npz"))
+    meta = json.loads(str(fx["meta"]))
+    state = load_checkpoint(os.path.join(GOLDENS, "chop_esrgan_x2.pth"))
+    model, params = load_model_from_state(state, dict(meta["cfg"]))
+    x = jnp.asarray(np.transpose(fx["input"], (0, 2, 3, 1)))
+
+    single = TiledRunner(model.apply, model.scale, mode="uniform", tile=16, overlap=8,
+                         tile_batch=8)
+    out_single = np.asarray(single(params, x))
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    sharded = TiledRunner(model.apply, model.scale, mode="uniform", tile=16, overlap=8,
+                          tile_batch=8, mesh=mesh)
+    out_sharded = np.asarray(sharded(params, x))
+    np.testing.assert_allclose(out_sharded, out_single, atol=1e-5, rtol=1e-5)
+
+
+def test_plan_rejects_bad_overlap():
+    with pytest.raises(ValueError):
+        make_uniform_plan(64, 64, 2, tile=16, overlap=16)
+    with pytest.raises(ValueError):
+        make_reference_plan(64, 64, 2, patch=16, step=0.3)
