@@ -42,6 +42,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bucket", type=int, default=0, help="Pad compile shapes to multiples.")
     p.add_argument("--profile", type=str, default="",
                    help="Write a jax.profiler trace to this directory.")
+    p.add_argument("--timing", action="store_true",
+                   help="Log per-stage wall-clock timings.")
+    p.add_argument("--metrics", type=str, default="",
+                   help="Ground-truth dir: compute PSNR/SSIM per output.")
+    p.add_argument("--shard-index", type=int, default=0,
+                   help="This host's shard of the image list (multi-host DP).")
+    p.add_argument("--num-shards", type=int, default=1,
+                   help="Total hosts striping the image list.")
     return p
 
 
@@ -81,11 +89,17 @@ def main(argv=None) -> int:
         scale=args.scale,
     )
 
-    if args.profile:
-        with jax.profiler.trace(args.profile):
-            session.process(args.input, args.output, use_color_fix=args.cf, comp=args.comp)
-    else:
-        session.process(args.input, args.output, use_color_fix=args.cf, comp=args.comp)
+    from innfer_tpu.observability import StageTimers, profile_trace
+
+    timers = StageTimers() if args.timing else None
+    with profile_trace(args.profile):
+        session.process(
+            args.input, args.output, use_color_fix=args.cf, comp=args.comp,
+            shard_index=args.shard_index, num_shards=args.num_shards,
+            metrics_dir=args.metrics or None, timers=timers,
+        )
+    if timers is not None:
+        timers.log_report()
     return 0
 
 

@@ -65,13 +65,22 @@ def get_images_paths(path: str) -> List[str]:
     return images
 
 
-def read_img(path: str) -> Optional[np.ndarray]:
-    """Read an image as numpy HWC BGR (uint8/uint16), like the reference."""
+def read_img(path: str, use_native: bool = True) -> Optional[np.ndarray]:
+    """Read an image as numpy HWC BGR (uint8/uint16), like the reference.
+
+    Uses the native C++ codec (runtime/native.py) for 8-bit PNG/JPEG and
+    falls back to cv2 (and rawpy for DNG) for everything else."""
     if not path:
         raise AssertionError("Empty path provided.")
     if _RAWPY and path[-3:].lower() == "dng":
         with rawpy.imread(path) as raw:
             return raw.postprocess()
+    if use_native:
+        from innfer_tpu.runtime import native
+
+        img = native.decode(path)
+        if img is not None:
+            return img
     return cv2.imread(path, cv2.IMREAD_UNCHANGED)
 
 
@@ -80,6 +89,11 @@ def save_img(img: np.ndarray, img_path: str, scale: Optional[float] = None) -> N
         img = cv2.resize(img, dsize=None, fx=scale, fy=scale,
                          interpolation=cv2.INTER_NEAREST)
     os.makedirs(osp.dirname(osp.abspath(img_path)), exist_ok=True)
+    if img_path.lower().endswith(".png") and img.dtype == np.uint8:
+        from innfer_tpu.runtime import native
+
+        if native.encode_png(img_path, img):
+            return
     cv2.imwrite(img_path, img)
 
 

@@ -32,6 +32,21 @@ from innfer_tpu.ops import colors
 from innfer_tpu.ops.filters import color_fix, guided_filter
 from innfer_tpu.tiling.engine import TiledRunner
 
+import contextlib
+
+
+def _nullctx():
+    return contextlib.nullcontext()
+
+
+def _find_reference(metrics_dir: str, name: str) -> Optional[np.ndarray]:
+    for ext in (".png", ".jpg", ".jpeg", ".bmp", ".webp"):
+        p = osp.join(metrics_dir, name + ext)
+        if osp.isfile(p):
+            return iio.read_img(p)
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Presets (reference run.py:299-315)
 # ---------------------------------------------------------------------------
@@ -284,25 +299,66 @@ class InferenceSession:
         use_color_fix: bool = False,
         comp: bool = False,
         verbose: bool = True,
+        shard_index: int = 0,
+        num_shards: int = 1,
+        metrics_dir: Optional[str] = None,
+        timers=None,
     ) -> List[str]:
-        """Process a directory of images; returns written paths."""
+        """Process a directory of images; returns written paths.
+
+        Decoding of upcoming images runs on native background threads
+        (runtime/native.PrefetchLoader) overlapped with device compute.
+        ``num_shards``/``shard_index`` stripe the work list for multi-host
+        image-level data parallelism (parallel/multihost.py);
+        ``metrics_dir`` computes PSNR/SSIM vs same-named ground-truth files.
+        """
+        from innfer_tpu.parallel.multihost import shard_paths
+        from innfer_tpu.runtime.native import PrefetchLoader
+
+        paths = shard_paths(iio.get_images_paths(input_dir), shard_index, num_shards)
         written = []
-        for image_path in iio.get_images_paths(input_dir):
+        loader = PrefetchLoader(
+            paths, fallback=lambda p: iio.read_img(p, use_native=False),
+        )
+        metric_rows = []
+        for _idx, image_path, img in loader:
             name = osp.splitext(osp.basename(image_path))[0]
-            img = iio.read_img(image_path)
             if img is None:
                 print(f"Error reading image {image_path}, skipping.")
                 continue
-            img_in = self.prepare(img)
-            out = self.run_image(img)
-            if use_color_fix:
-                out = np.asarray(color_fix(jnp.asarray(img_in), jnp.asarray(out)))
+            ctx = timers.stage("image") if timers else _nullctx()
+            with ctx:
+                img_in = self.prepare(img)
+                out = self.run_image(img)
+                if use_color_fix:
+                    out = np.asarray(color_fix(jnp.asarray(img_in), jnp.asarray(out)))
             dst = osp.join(output_dir, f"{name}.png")
             if comp:
                 iio.save_img_comp([img_in, out], dst)
             else:
                 iio.save_img(out, dst)
             written.append(dst)
+            if metrics_dir:
+                gt = _find_reference(metrics_dir, name)
+                if gt is not None:
+                    from innfer_tpu.metrics import psnr_np, ssim
+
+                    row = {
+                        "image": name,
+                        "psnr": round(psnr_np(out, gt), 3),
+                        "ssim": round(float(ssim(
+                            jnp.asarray(out, jnp.float32) / 255.0,
+                            jnp.asarray(gt, jnp.float32) / 255.0)), 4),
+                    }
+                    metric_rows.append(row)
+                    if verbose:
+                        print(f"  metrics {name}: PSNR {row['psnr']} dB, SSIM {row['ssim']}")
             if verbose:
                 print(f"{image_path} -> {dst} {out.shape[1]}x{out.shape[0]}")
+        loader.close()
+        if metric_rows and verbose:
+            mean_p = sum(r["psnr"] for r in metric_rows) / len(metric_rows)
+            mean_s = sum(r["ssim"] for r in metric_rows) / len(metric_rows)
+            print(f"metrics mean over {len(metric_rows)}: PSNR {mean_p:.3f} dB, SSIM {mean_s:.4f}")
+        self.last_metrics = metric_rows
         return written

@@ -1,0 +1,95 @@
+"""Aux subsystems: checkpoint writer, metrics, timers, multihost sharding."""
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from innfer_tpu.checkpoint.torch_pickle import load_checkpoint
+from innfer_tpu.checkpoint.writer import write_checkpoint
+from innfer_tpu.metrics import psnr, psnr_np, ssim
+from innfer_tpu.observability import StageTimers
+from innfer_tpu.parallel.multihost import shard_paths
+
+
+class TestWriter:
+    def test_torch_can_load_our_checkpoint(self, tmp_path, rng):
+        state = {
+            "model.0.weight": rng.standard_normal((8, 3, 3, 3)).astype(np.float32),
+            "model.0.bias": rng.standard_normal(8).astype(np.float32),
+            "half": rng.standard_normal((4, 4)).astype(np.float16),
+            "ints": np.arange(5, dtype=np.int64),
+        }
+        p = str(tmp_path / "ours.pth")
+        write_checkpoint(p, state)
+        loaded = torch.load(p)
+        assert set(loaded) == set(state)
+        for k in state:
+            got = loaded[k].float().numpy() if loaded[k].is_floating_point() else loaded[k].numpy()
+            np.testing.assert_array_equal(got.astype(np.float64),
+                                          state[k].astype(np.float64))
+
+    def test_roundtrip_with_our_reader(self, tmp_path, rng):
+        state = {"w": rng.standard_normal((2, 3)).astype(np.float32)}
+        p = str(tmp_path / "rt.pth")
+        write_checkpoint(p, state)
+        back = load_checkpoint(p)
+        np.testing.assert_array_equal(back["w"], state["w"])
+
+    def test_bf16_roundtrip(self, tmp_path, rng):
+        import ml_dtypes
+        state = {"w": rng.standard_normal((4, 4)).astype(ml_dtypes.bfloat16)}
+        p = str(tmp_path / "bf.pth")
+        write_checkpoint(p, state)
+        assert torch.load(p)["w"].dtype == torch.bfloat16
+        np.testing.assert_array_equal(
+            load_checkpoint(p)["w"].astype(np.float32),
+            state["w"].astype(np.float32))
+
+    def test_rejects_unknown_dtype(self, tmp_path):
+        with pytest.raises(ValueError):
+            write_checkpoint(str(tmp_path / "x.pth"), {"c": np.zeros(2, np.complex64)})
+
+
+class TestMetrics:
+    def test_psnr_identity(self, rng):
+        a = rng.random((1, 16, 16, 3), dtype=np.float32)
+        assert float(psnr(jnp.asarray(a), jnp.asarray(a))) > 190
+        b = np.clip(a + 0.1, 0, 1)
+        p = float(psnr(jnp.asarray(a), jnp.asarray(b)))
+        assert 15 < p < 25
+
+    def test_ssim_against_known_behavior(self, rng):
+        a = rng.random((1, 32, 32, 3), dtype=np.float32)
+        assert float(ssim(jnp.asarray(a), jnp.asarray(a))) > 0.999
+        noisy = np.clip(a + rng.normal(0, 0.2, a.shape).astype(np.float32), 0, 1)
+        s = float(ssim(jnp.asarray(a), jnp.asarray(noisy)))
+        assert s < 0.95
+
+    def test_psnr_np_uint8(self):
+        a = np.zeros((4, 4, 3), np.uint8)
+        b = np.full((4, 4, 3), 10, np.uint8)
+        assert abs(psnr_np(a, b) - (20 * np.log10(255 / 10))) < 1e-6
+
+
+class TestTimers:
+    def test_accumulation(self):
+        t = StageTimers()
+        for _ in range(3):
+            with t.stage("fwd"):
+                pass
+        rep = t.report()
+        assert rep["fwd"]["count"] == 3
+        assert rep["fwd"]["total_s"] >= 0
+
+
+class TestMultihost:
+    def test_striping_partitions(self):
+        paths = [f"im{i}.png" for i in range(10)]
+        shards = [shard_paths(paths, i, 3) for i in range(3)]
+        flat = sorted(p for s in shards for p in s)
+        assert flat == sorted(paths)
+        assert all(len(s) in (3, 4) for s in shards)
+        assert shard_paths(paths, 0, 1) == paths
+        with pytest.raises(ValueError):
+            shard_paths(paths, 3, 3)

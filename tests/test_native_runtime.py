@@ -1,0 +1,84 @@
+"""Native C++ runtime tests: codec parity with cv2, prefetch loader order."""
+import os.path as osp
+
+import cv2
+import numpy as np
+import pytest
+
+from innfer_tpu.runtime import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_png_roundtrip_matches_cv2(lib, tmp_path, rng):
+    img = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    p_cv = str(tmp_path / "cv.png")
+    p_nat = str(tmp_path / "nat.png")
+    cv2.imwrite(p_cv, img)
+    assert native.encode_png(p_nat, img)
+    # native decode of both files == original
+    for p in (p_cv, p_nat):
+        dec = native.decode(p)
+        np.testing.assert_array_equal(dec, img)
+    # cv2 can read native-encoded file
+    np.testing.assert_array_equal(cv2.imread(p_nat, cv2.IMREAD_UNCHANGED), img)
+
+
+def test_png_rgba_and_gray(lib, tmp_path, rng):
+    rgba = rng.integers(0, 256, (9, 11, 4), dtype=np.uint8)
+    gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    for name, img in (("rgba", rgba), ("gray", gray)):
+        p = str(tmp_path / f"{name}.png")
+        cv2.imwrite(p, img)
+        np.testing.assert_array_equal(native.decode(p), img)
+
+
+def test_16bit_png_falls_back(lib, tmp_path, rng):
+    img16 = rng.integers(0, 65536, (8, 8, 3), dtype=np.uint16)
+    p = str(tmp_path / "deep.png")
+    cv2.imwrite(p, img16)
+    assert native.decode(p) is None  # unsupported -> caller uses cv2
+
+
+def test_jpeg_decode_close_to_cv2(lib, tmp_path, rng):
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    p = str(tmp_path / "img.jpg")
+    cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    ours = native.decode(p)
+    theirs = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    assert ours.shape == theirs.shape
+    # different IDCT implementations may differ by a couple of levels
+    assert np.mean(np.abs(ours.astype(int) - theirs.astype(int))) < 3.0
+
+
+def test_prefetch_loader_order_and_fallback(lib, tmp_path, rng):
+    paths = []
+    imgs = []
+    for i in range(6):
+        img = rng.integers(0, 256, (10 + i, 12, 3), dtype=np.uint8)
+        p = str(tmp_path / f"im{i}.png")
+        cv2.imwrite(p, img)
+        paths.append(p)
+        imgs.append(img)
+    # one file the native codec can't do (16-bit) -> fallback path
+    deep = rng.integers(0, 65536, (7, 7, 3), dtype=np.uint16)
+    pd = str(tmp_path / "im_deep.png")
+    cv2.imwrite(pd, deep)
+    paths.insert(3, pd)
+    imgs.insert(3, deep)
+
+    loader = native.PrefetchLoader(
+        paths, capacity=3, threads=2,
+        fallback=lambda p: cv2.imread(p, cv2.IMREAD_UNCHANGED))
+    seen = []
+    for idx, path, img in loader:
+        seen.append(idx)
+        np.testing.assert_array_equal(img, imgs[idx])
+    loader.close()
+    assert seen == list(range(len(paths)))  # submission order preserved
