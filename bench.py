@@ -1,12 +1,20 @@
-"""Headline benchmark: 4x RRDB (ESRGAN, nb=23 nf=64) 1080p -> 4K tiled upscale.
+"""Benchmark harness for the BASELINE.json configs.
 
-Runs on whatever JAX platform is active (real TPU chip under the driver).
+Default (headline): 4x RRDB (ESRGAN, nb=23 nf=64) 1080p -> 4K tiled upscale,
+bf16, on whatever JAX platform is active (real TPU chip under the driver).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The metric is output megapixels per second per chip (a 1080p->4K upscale
-produces 8.29 MP per input image); the BASELINE.json north-star target is
-20 MP/s per v5e chip.
+Other configs via --model:
+  srresnet  — SRGAN 4x single-image (no tiling) upscale
+  chain     — 1x ESRGAN denoise -> 4x ESRGAN + device color-fix
+  unet      — pix2pix UNet-256 image-to-image (batch of 256x256)
+  cyclegan  — CycleGAN ResNet-9 tiled image-to-image
+  ppon      — PPON 4x tiled (3-branch, output index 2)
+  wbc       — WBC cartoonization + guided filter
+
+The metric is output megapixels per second per chip; the BASELINE.json
+north-star target (vs_baseline=1.0) is 20 MP/s for the headline config.
 """
 from __future__ import annotations
 
@@ -20,6 +28,9 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="esrgan",
+                    choices=["esrgan", "srresnet", "chain", "unet", "cyclegan",
+                             "ppon", "wbc"])
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--nb", type=int, default=23)
@@ -46,60 +57,102 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from innfer_tpu.ops.filters import guided_filter
     from innfer_tpu.tiling.engine import TiledRunner
-    from tools.synth_params import esrgan_model_and_params
+    from tools import synth_params as SP
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    model, params = esrgan_model_and_params(nb=args.nb, nf=args.nf,
-                                            scale=args.scale, dtype=dtype)
-
-    runner = TiledRunner(
-        model.apply, model.scale, mode="uniform", tile=args.tile,
-        overlap=args.overlap, tile_batch=args.tile_batch,
-        compute_dtype=dtype,
-    )
-
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(
-        rng.random((1, args.height, args.width, 3), dtype=np.float32), dtype=dtype
-    )
-
-    # On the tunneled axon platform block_until_ready() returns before the
-    # device finishes; force completion by fetching a device-computed scalar.
     checksum = jax.jit(lambda t: jnp.sum(t.astype(jnp.float32)))
 
     def sync(out):
         return float(checksum(out))
 
-    # warmup/compile
-    for _ in range(max(args.warmup, 1)):
-        sync(runner(params, x))
+    rng = np.random.default_rng(0)
 
-    def timed_iters(n):
+    def tiled(model, params, h, w, **kw):
+        runner = TiledRunner(
+            model.apply, model.scale, mode="uniform", tile=args.tile,
+            overlap=args.overlap, tile_batch=args.tile_batch,
+            output_index=model.output_index, compute_dtype=dtype, **kw)
+        x = jnp.asarray(rng.random((1, h, w, 3), np.float32), dtype)
+        return lambda: runner(params, x), h * w * model.scale ** 2 / 1e6
+
+    h, w = args.height, args.width
+    if args.model == "esrgan":
+        model, params = SP.build("esrgan", scale=args.scale, dtype=dtype,
+                                 nb=args.nb, nf=args.nf)
+        step, out_mp = tiled(model, params, h, w)
+        desc = f"{args.scale}x RRDB(nb={args.nb}, nf={args.nf}) {h}x{w} tiled"
+    elif args.model == "srresnet":
+        model, params = SP.build("srresnet", scale=args.scale, dtype=dtype,
+                                 nb=16, nf=64)
+        hh, ww = (h // 8) * 8, (w // 8) * 8
+        x = jnp.asarray(rng.random((1, hh, ww, 3), np.float32), dtype)
+        fwd = jax.jit(model.apply)
+        step, out_mp = (lambda: fwd(params, x)), hh * ww * args.scale ** 2 / 1e6
+        desc = f"{args.scale}x SRResNet {hh}x{ww} whole-image"
+    elif args.model == "chain":
+        m1, p1 = SP.build("esrgan", scale=1, dtype=dtype, nb=args.nb, nf=args.nf)
+        m2, p2 = SP.build("esrgan", scale=4, dtype=dtype, nb=args.nb, nf=args.nf,
+                          seed=1)
+        r1 = TiledRunner(m1.apply, 1, tile=args.tile, overlap=args.overlap,
+                         tile_batch=args.tile_batch, compute_dtype=dtype)
+        r2 = TiledRunner(m2.apply, 4, tile=args.tile, overlap=args.overlap,
+                         tile_batch=args.tile_batch, compute_dtype=dtype)
+        hh, ww = h // 2, w // 2  # keep chain runtime reasonable
+        x = jnp.asarray(rng.random((1, hh, ww, 3), np.float32), dtype)
+
+        def step():
+            return r2(p2, r1(p1, x))
+
+        out_mp = hh * ww * 16 / 1e6
+        desc = f"chain 1x+4x RRDB {hh}x{ww} tiled"
+    elif args.model == "unet":
+        model, params = SP.build("unet", dtype=dtype, num_downs=8, ngf=64)
+        batch = 8
+        x = jnp.asarray(rng.random((batch, 256, 256, 3), np.float32) * 2 - 1, dtype)
+        fwd = jax.jit(model.apply)
+        step, out_mp = (lambda: fwd(params, x)), batch * 256 * 256 / 1e6
+        desc = f"pix2pix UNet-256 batch {batch}"
+    elif args.model == "cyclegan":
+        model, params = SP.build("cyclegan", dtype=dtype, n_blocks=9, ngf=64)
+        step, out_mp = tiled(model, params, h // 2, w // 2)
+        desc = f"CycleGAN ResNet-9 {h // 2}x{w // 2} tiled"
+    elif args.model == "ppon":
+        model, params = SP.build("ppon", scale=4, dtype=dtype, nb=24)
+        step, out_mp = tiled(model, params, h // 2, w // 2)
+        desc = f"4x PPON {h // 2}x{w // 2} tiled (perceptual branch)"
+    elif args.model == "wbc":
+        model, params = SP.build("wbc", dtype=dtype, nf=32)
+        x = jnp.asarray(rng.random((1, (h // 4) * 4, (w // 4) * 4, 3),
+                                   np.float32) * 2 - 1, dtype)
+        fwd = jax.jit(lambda p, t: guided_filter(t, model.apply(p, t), r=1, eps=5e-3))
+        step, out_mp = (lambda: fwd(params, x)), (h // 4) * 4 * (w // 4) * 4 / 1e6
+        desc = f"WBC cartoonization + guided filter {(h // 4) * 4}x{(w // 4) * 4}"
+
+    for _ in range(max(args.warmup, 1)):
+        sync(step())
+
+    def timed(n):
         t0 = time.perf_counter()
         for _ in range(n - 1):
-            runner(params, x)
-        sync(runner(params, x))
+            step()
+        sync(step())
         return time.perf_counter() - t0
 
     if args.profile:
         with jax.profiler.trace(args.profile):
-            dt = timed_iters(args.iters)
+            dt = timed(args.iters)
     else:
-        dt = timed_iters(args.iters)
+        dt = timed(args.iters)
 
-    out_mp = (args.height * args.scale) * (args.width * args.scale) / 1e6
     mps = out_mp * args.iters / dt
-    result = {
-        "metric": (
-            f"output megapixels/sec/chip, {args.scale}x RRDB(nb={args.nb}, "
-            f"nf={args.nf}) {args.height}x{args.width} tiled upscale, {args.dtype}"
-        ),
+    print(json.dumps({
+        "metric": f"output megapixels/sec/chip, {desc}, {args.dtype}",
         "value": round(mps, 3),
         "unit": "MP/s",
         "vs_baseline": round(mps / 20.0, 3),
-    }
-    print(json.dumps(result))
+    }))
 
 
 if __name__ == "__main__":

@@ -114,15 +114,28 @@ def _rdb_kernel(
     )
 
     def source_contrib(src, wt_ref):
-        """One matmul per source: 9-way shifted lane-concat (im2col in
-        registers/VMEM) @ (9*C_s, N_s) tap-packed weights."""
-        taps = [
-            _shift_rows(src, dy * wp + dx)
-            for dy in (-1, 0, 1)
-            for dx in (-1, 0, 1)
-        ]
-        nine = jnp.concatenate(taps, axis=1)  # (pp, 9*c_s)
-        return jnp.dot(nine, wt_ref[:], preferred_element_type=jnp.float32)
+        """Per-source K-packed matmuls; the 9-tap im2col exists only as a
+        VMEM lane-concat.  Built hierarchically to minimize expensive
+        rotates — the dx +-1 shifts are two f32 rolls, the dy +-wp shifts
+        of the trio are tile-aligned slice+concats (wp is a 16-row
+        multiple).  Wide sources (nf) split the dot per dy to bound the
+        live concat at (pp, 3*c_s) and avoid VMEM stack overflow."""
+        c_s = src.shape[1]
+        trio = jnp.concatenate(
+            [_shift_rows(src, -1), src, _shift_rows(src, 1)], axis=1
+        )  # (pp, 3*c_s): [src[j-1], src[j], src[j+1]]
+        w = wt_ref[:]
+        if 9 * c_s > 320:
+            acc = jnp.dot(_shift_rows(trio, -wp), w[: 3 * c_s],
+                          preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(trio, w[3 * c_s: 6 * c_s],
+                                preferred_element_type=jnp.float32)
+            return acc + jnp.dot(_shift_rows(trio, wp), w[6 * c_s:],
+                                 preferred_element_type=jnp.float32)
+        nine = jnp.concatenate(
+            [_shift_rows(trio, -wp), trio, _shift_rows(trio, wp)], axis=1
+        )  # (pp, 9*c_s) in (dy, dx, c) order, matching the weight packing
+        return jnp.dot(nine, w, preferred_element_type=jnp.float32)
 
     def pad_cols(v, col0):
         if col0 == 0:
