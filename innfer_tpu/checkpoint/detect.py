@@ -78,9 +78,42 @@ def infer_params(arch: str, state: StateDict, scale: Optional[int] = None,
     elif arch == "wbcunet":
         scale = 1
         net = {"type": arch, "mode": "pt", "nf": int(state["conv.weight"].shape[0])}
-    elif arch in ("ppon", "pan"):
-        # like the reference, fall back to library defaults for these
-        net = {"type": arch, "in_nc": in_nc, "out_nc": out_nc}
+    elif arch == "ppon":
+        # Improvement over the reference (run.py:157-163 leaves these as
+        # library defaults): recover nb/nf/out_nc/scale from shapes.
+        nb = 1 + max(
+            int(k.split(".")[3]) for k in state
+            if k.startswith("CFEM.1.sub.") and ".RB" in k
+        )
+        nf = int(state["CFEM.0.weight"].shape[0])
+        crm_idx = [int(k.split(".")[1]) for k in state
+                   if k.startswith("CRM.") and k.endswith(".weight")]
+        n_up = len(crm_idx) - 2
+        out_nc = int(state[f"CRM.{max(crm_idx)}.weight"].shape[0])
+        if not scale:
+            # 2x and 3x share the single-upsampler layout; prefer 2^n and
+            # let an explicit/filename scale override (load_model passes it)
+            scale = 2 ** n_up
+        net = {"type": arch, "in_nc": int(state["CFEM.0.weight"].shape[1]),
+               "out_nc": out_nc, "nf": nf, "nb": nb}
+    elif arch == "pan":
+        # Improvement over the reference: full shape-based recovery.
+        nb = 1 + max(
+            int(k.split(".")[1]) for k in state if k.startswith("SCPA_trunk.")
+        )
+        nf = int(state["conv_first.weight"].shape[0])
+        in_nc = int(state["conv_first.weight"].shape[1])
+        out_nc = int(state["conv_last.weight"].shape[0])
+        n_up = sum(1 for k in state if k.startswith("upsample.") and k.endswith(".conv.weight"))
+        unf = int(state["upsample.1.weight"].shape[0]) if n_up else nf
+        if not scale:
+            scale = 2 ** n_up
+        net = {
+            "type": arch, "in_nc": in_nc, "out_nc": out_nc, "nf": nf,
+            "unf": unf, "nb": nb,
+            "self_attention": any(k.startswith("FSA.") for k in state),
+            "double_scpa": any(k.startswith("SCPA_trunk2.") for k in state),
+        }
     else:
         raise ValueError(f"cannot infer params for arch [{arch}]")
 

@@ -66,3 +66,19 @@ def apply_upsample_block(
 
 def conv3x3(params: Params, x: jax.Array, key: str) -> jax.Array:
     return F.conv2d(x, params[f"{key}.weight"], params.get(f"{key}.bias"), padding=1)
+
+
+def _outm(x, outm):
+    """Optional output cap (reference RRDBNet_arch.py:50-62 forward outm):
+    scaltanh | tanh | sigmoid | clamp | None."""
+    import jax.numpy as jnp
+
+    if outm == "scaltanh":
+        return (jnp.tanh(x) + 1.0) / 2.0
+    if outm == "tanh":
+        return jnp.tanh(x)
+    if outm == "sigmoid":
+        return F.sigmoid(x)
+    if outm == "clamp":
+        return jnp.clip(x, 0.0, 1.0)
+    return x

@@ -25,6 +25,7 @@ import jax
 from innfer_tpu.checkpoint.remaps import mod_to_normal
 from innfer_tpu.models import common as C
 from innfer_tpu.models.base import ModelDef
+from innfer_tpu.models.common import _outm
 from innfer_tpu.nn import functional as F
 
 import jax.numpy as jnp
@@ -101,6 +102,7 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     plus = bool(cfg.get("plus", False))
     mode = cfg.get("upsample_mode", "upconv")
     finalact = cfg.get("finalact")
+    outm = cfg.get("outm")
     if cfg.get("norm_type") not in (None, "none"):
         raise NotImplementedError("RRDBNet with norm layers is not supported")
     if cfg.get("convtype", "Conv2D") != "Conv2D":
@@ -126,7 +128,7 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         h = C.conv3x3(params, h, f"model.{hr0 + 2}")
         if finalact:
             h = F.act(finalact, h)
-        return h
+        return _outm(h, outm)
 
     return ModelDef(
         name="rrdb_net",

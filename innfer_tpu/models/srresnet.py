@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from innfer_tpu.models import common as C
 from innfer_tpu.models.base import ModelDef
+from innfer_tpu.models.common import _outm
 from innfer_tpu.nn import functional as F
 
 
@@ -26,6 +27,7 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     mode = cfg.get("upsample_mode", "pixelshuffle")
     res_scale = float(cfg.get("res_scale", 1))
     finalact = cfg.get("finalact")
+    outm = cfg.get("outm")
     if cfg.get("norm_type") not in (None, "none"):
         raise NotImplementedError("SRResNet with norm layers is not supported")
 
@@ -52,6 +54,6 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         h = C.conv3x3(params, h, f"model.{hr0 + 2}")
         if finalact:
             h = F.act(finalact, h)
-        return h
+        return _outm(h, outm)
 
     return ModelDef(name="sr_resnet", cfg=dict(cfg), apply=apply, scale=upscale)

@@ -229,7 +229,9 @@ def fused_rdb(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # xp: HBM, manual DMA
+            # pin to HBM: ANY lets the compiler pull the whole padded image
+            # into VMEM, which overflows for realistic tile batches
+            pl.BlockSpec(memory_space=pltpu.HBM),   # xp: manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wt0
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

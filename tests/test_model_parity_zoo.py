@@ -119,3 +119,48 @@ class TestWBC:
         model, params = load_model(os.path.join(GOLDENS, "wbc_pt.pth"))
         assert model.name == "wbcunet_net"
         assert model.cfg["nf"] == 8
+
+
+class TestImprovedInference:
+    """Shape-based PPON/PAN hyperparameter recovery — an improvement over
+    the reference, which falls back to library defaults (run.py:157-163)."""
+
+    def test_pan_full_auto(self):
+        fx, meta = load_fixture("pan_x4")
+        model, params = load_model(os.path.join(GOLDENS, "pan_x4.pth"))
+        assert model.name == "pan_net"
+        assert model.cfg["nb"] == 2 and model.cfg["nf"] == 8 and model.cfg["unf"] == 6
+        assert model.scale == 4 and model.cfg["self_attention"] is True
+        x = jnp.asarray(np.transpose(fx["input"], (0, 2, 3, 1)))
+        out = np.transpose(np.asarray(jax.jit(model.apply)(params, x)), (0, 3, 1, 2))
+        assert psnr(out, fx["output"]) >= 70
+
+    def test_ppon_full_auto(self):
+        fx, meta = load_fixture("ppon_x4")
+        model, params = load_model(os.path.join(GOLDENS, "ppon_x4.pth"))
+        assert model.name == "ppon"
+        assert model.cfg["nb"] == 2 and model.cfg["nf"] == 64
+        assert model.scale == 4 and model.output_index == 2
+        x = jnp.asarray(np.transpose(fx["input"], (0, 2, 3, 1)))
+        out = jax.jit(model.apply)(params, x)[2]
+        out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+        assert psnr(out, fx["output_2"]) >= 55  # fp16 fixture
+
+
+class TestOutm:
+    def test_outm_clamp_and_tanh(self):
+        from innfer_tpu.checkpoint.torch_pickle import load_checkpoint
+
+        fx, meta = load_fixture("esrgan_x2")
+        state = load_checkpoint(os.path.join(GOLDENS, "esrgan_x2.pth"))
+        x = jnp.asarray(np.transpose(fx["input"], (0, 2, 3, 1)))
+        for outm, check in [
+            ("clamp", lambda o: (o.min() >= 0) and (o.max() <= 1)),
+            ("tanh", lambda o: (o.min() >= -1) and (o.max() <= 1)),
+            ("sigmoid", lambda o: (o.min() >= 0) and (o.max() <= 1)),
+            ("scaltanh", lambda o: (o.min() >= 0) and (o.max() <= 1)),
+        ]:
+            cfg = dict(meta["cfg"], outm=outm)
+            model, params = load_model_from_state(state, cfg)
+            out = np.asarray(jax.jit(model.apply)(params, x))
+            assert check(out), outm
