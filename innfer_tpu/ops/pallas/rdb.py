@@ -83,8 +83,8 @@ def _shift_rows(v: jax.Array, k: int) -> jax.Array:
 
 
 def _rdb_kernel(
-    xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, out_ref,
-    x_vm, sem,
+    xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, _out_buf, out_ref,
+    x_vm, out_vm, sem, sem_out,
     *, nf: int, gc: int, bh: int, bw: int, t: int, plus: bool,
     neg_slope: float, acc_dtype,
 ):
@@ -171,8 +171,19 @@ def _rdb_kernel(
 
     x5 = acc[:, 4 * gc: 4 * gc + nf]
     out = (x5 * 0.2 + xf.astype(jnp.float32)).astype(xf.dtype)
-    out3 = out.reshape(hp, wp, nf)
-    out_ref[0] = out3[HALO: HALO + bh, HALO: HALO + bw, :]
+    # pad lanes back to 128 so the HBM DMA slice is lane-aligned
+    out = jnp.concatenate(
+        [out, jnp.zeros((pp, LANE - nf), out.dtype)], axis=1
+    )
+    out3 = out.reshape(hp, wp, LANE)
+    out_vm[:] = out3[HALO: HALO + bh, HALO: HALO + bw, :]
+    cpo = pltpu.make_async_copy(
+        out_vm,
+        out_ref.at[pl.program_id(0), pl.ds(by * bh, bh), pl.ds(bx * bw, bw), :],
+        sem_out,
+    )
+    cpo.start()
+    cpo.wait()
 
 
 def fused_rdb(
@@ -239,14 +250,21 @@ def fused_rdb(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1x1
+            pl.BlockSpec(memory_space=pltpu.HBM),   # donated output buffer
         ],
-        out_specs=pl.BlockSpec(
-            (1, bh, bw, nf), lambda b_, i, j: (b_, i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, t, t, nf), x.dtype),
+        # This backend stack-allocates pallas outputs in VMEM regardless of
+        # out_specs; aliasing the output to a donated HBM input keeps the
+        # full result in HBM.  Blocks are DMA'd out manually with 128-lane
+        # padding for alignment.
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((b, t, t, LANE), x.dtype),
+        input_output_aliases={8: 0},
         scratch_shapes=[
             pltpu.VMEM((hp, wp, LANE), x.dtype),
+            pltpu.VMEM((bh, bw, LANE), x.dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, wt[0], wt[1], wt[2], wt[3], wt[4], bias_vec, w1)
+    )(xp, wt[0], wt[1], wt[2], wt[3], wt[4], bias_vec, w1,
+      jnp.zeros((b, t, t, LANE), x.dtype))[..., :nf]
