@@ -62,13 +62,16 @@ def guided_filter(
     r: Optional[int] = None,
     eps: float = 1e-2,
     mode: str = "regular",
+    conv_a=None,
 ) -> Array:
     """Edge-preserving guided filter (He et al.), matching the reference
     implementation (utils.py:549-626).
 
     x: guidance NHWC; y: filtering input NHWC; mode 'regular' filters at x's
     resolution, 'fast' upsamples the linear coefficients to ``x_hr``
-    (bilinear, align_corners=True) for joint upsampling.
+    (bilinear, align_corners=True) for joint upsampling, 'conv' computes the
+    A coefficients with a learned callable ``conv_a(cat(cov_xy, var_x))``
+    (utils.py:604-605) and joint-upsamples like 'fast'.
     """
     if ks is None:
         if r is None:
@@ -84,12 +87,17 @@ def guided_filter(
     cov_xy = filter2d(x32 * y32, k) / n - mean_x * mean_y
     var_x = filter2d(x32 * x32, k) / n - mean_x * mean_x
 
-    a = cov_xy / (var_x + eps)
+    if mode == "conv":
+        if conv_a is None:
+            raise ValueError("conv mode requires the conv_a callable")
+        a = conv_a(jnp.concatenate([cov_xy, var_x], axis=-1)).astype(jnp.float32)
+    else:
+        a = cov_xy / (var_x + eps)
     b = mean_y - a * mean_x
 
-    if mode == "fast":
+    if mode in ("fast", "conv"):
         if x_hr is None:
-            raise ValueError("fast mode requires x_hr")
+            raise ValueError(f"{mode} mode requires x_hr")
         size = (x_hr.shape[1], x_hr.shape[2])
         mean_a = R.interpolate(a, size=size, mode="bilinear", align_corners=True)
         mean_b = R.interpolate(b, size=size, mode="bilinear", align_corners=True)

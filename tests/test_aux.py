@@ -93,3 +93,23 @@ class TestMultihost:
         assert shard_paths(paths, 0, 1) == paths
         with pytest.raises(ValueError):
             shard_paths(paths, 3, 3)
+
+
+class TestGuidedFilterModes:
+    def test_fast_and_conv_modes(self, rng):
+        from innfer_tpu.ops.filters import guided_filter
+
+        x = jnp.asarray(rng.random((1, 8, 8, 3), np.float32))
+        y = jnp.asarray(rng.random((1, 8, 8, 3), np.float32))
+        x_hr = jnp.asarray(rng.random((1, 16, 16, 3), np.float32))
+        out = guided_filter(x, y, x_hr, r=1, mode="fast")
+        assert out.shape == (1, 16, 16, 3)
+        # conv mode with a learned A: identity-ish callable over 6 channels
+        w = jnp.asarray(rng.standard_normal((1, 1, 6, 3)).astype(np.float32) * 0.1)
+        from innfer_tpu.nn import functional as F
+
+        out = guided_filter(x, y, x_hr, r=1, mode="conv",
+                            conv_a=lambda t: F.conv2d(t, w))
+        assert out.shape == (1, 16, 16, 3)
+        with pytest.raises(ValueError):
+            guided_filter(x, y, r=1, mode="conv")
