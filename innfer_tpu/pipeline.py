@@ -272,6 +272,33 @@ class InferenceSession:
             s *= st.model.scale
         return s
 
+    def build_fused_chain(self, *, tile: int = 128, overlap: int = 8,
+                          tile_batch: int = 8, mesh=None) -> TiledRunner:
+        """Tile-through-chain execution: ONE tile pass runs every stage on
+        each tile and blends once at the final scale.
+
+        Addresses the chain-memory hard part (SURVEY.md §7): a 4x+4x chain
+        never materializes the 16x-pixel intermediate image — intermediates
+        exist only at tile granularity in VMEM/HBM working space.  Seam
+        blending happens once in the final output space (a quality-neutral
+        variant of per-stage blending; seams remain inside the overlap).
+        """
+        stages = self.stages
+
+        def chained(params_ignored, t):
+            for st in stages:
+                out = st.model.apply(st.params, t)
+                if st.model.output_index is not None:
+                    out = out[st.model.output_index]
+                t = out
+            return t
+
+        return TiledRunner(
+            chained, self.total_scale, mode="uniform", tile=tile,
+            overlap=overlap, tile_batch=tile_batch, mesh=mesh,
+            compute_dtype=self.compute_dtype,
+        )
+
     def prepare(self, img: np.ndarray) -> np.ndarray:
         if self.presets.resize:
             img = iio.linear_resize(img, self.presets.resize)

@@ -165,3 +165,26 @@ class TestCLI:
         ])
         assert rc == 0
         assert cv2.imread(str(out / "img.png")).shape == (40, 56, 3)
+
+
+class TestFusedChain:
+    def test_fused_chain_matches_sequential(self, tmp_path):
+        """Tile-through-chain ~= per-stage tiled execution."""
+        import numpy as np
+        import jax.numpy as jnp
+        from innfer_tpu.metrics import psnr_np
+
+        chain = osp.join(GOLDENS, "esrgan_x2.pth") + "+" + osp.join(GOLDENS, "esrgan_x4.pth")
+        sess = InferenceSession(chain, compute_dtype=jnp.float32, tile=16,
+                                overlap=8, tile_batch=4)
+        img = np.random.default_rng(5).integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        seq_out = sess.run_image(img)
+
+        runner = sess.build_fused_chain(tile=16, overlap=8, tile_batch=4)
+        from innfer_tpu.pipeline import np2tensor, tensor2np
+
+        t = np2tensor(img, dtype=jnp.float32)
+        fused_out = tensor2np(runner(None, t))
+        assert fused_out.shape == seq_out.shape == (24 * 8, 32 * 8, 3)
+        # different blend spaces -> close but not identical
+        assert psnr_np(fused_out, seq_out) > 25
