@@ -164,3 +164,13 @@ class TestOutm:
             model, params = load_model_from_state(state, cfg)
             out = np.asarray(jax.jit(model.apply)(params, x))
             assert check(out), outm
+
+
+class TestScale3:
+    """upscale=3 uses a single 3x upsample block (RRDBNet_arch.py:21-23,37-38);
+    scale inference can't see it (run.py:121-128), so the explicit-config path
+    is exercised (filename '3x_' provides the scale in the CLI)."""
+
+    @pytest.mark.parametrize("name", ["esrgan_x3", "srresnet_x3"])
+    def test_parity(self, name):
+        run_explicit(name)
