@@ -265,6 +265,11 @@ def fused_rdb(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the backend's default VMEM budget is far below the chip's
+            # physical VMEM; without this, outputs+values "OOM" spuriously
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xp, wt[0], wt[1], wt[2], wt[3], wt[4], bias_vec, w1,
       jnp.zeros((b, t, t, LANE), x.dtype))[..., :nf]
