@@ -71,7 +71,17 @@ def infer_params(arch: str, state: StateDict, scale: Optional[int] = None,
                 plus = True
         nf = int(state["model.0.weight"].shape[0])
         in_nc = int(state["model.0.weight"].shape[1])
-        scale = 2 ** scale2x
+        inferred = 2 ** scale2x
+        # The positional count (run.py:121-128) is exact for 2^k scales but
+        # reports 2 for true-3x checkpoints (their single upsampler sits
+        # below index 6).  So an explicit/filename scale is honored only
+        # inside that ambiguity class; anything else contradicting the
+        # layout would build a net whose keys can't load.
+        if scale and scale != inferred and not (inferred == 2 and scale == 3):
+            print(f"Warning: requested scale {scale} contradicts the "
+                  f"checkpoint layout (inferred {inferred}); using {inferred}")
+            scale = inferred
+        scale = scale or inferred
         net = {"type": arch, "in_nc": in_nc, "out_nc": out_nc, "nf": nf, "nb": nb}
         if arch == "esrgan":
             net["plus"] = plus

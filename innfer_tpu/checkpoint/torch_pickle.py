@@ -169,12 +169,26 @@ def _load_zip(path: str) -> Dict[str, Any]:
 _LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
 
 
+class _HeaderUnpickler(pickle.Unpickler):
+    """For the legacy header/trailer pickles (ints, dicts of primitives,
+    lists of strings): forbids ALL globals so a crafted header can't run
+    code before the restricted payload unpickler is even reached."""
+
+    def find_class(self, module, name):  # pragma: no cover - security guard
+        raise pickle.UnpicklingError(
+            f"forbidden global in checkpoint header: {module}.{name}")
+
+
+def _header_load(f: BinaryIO):
+    return _HeaderUnpickler(f, encoding="latin1").load()
+
+
 def _load_legacy(f: BinaryIO) -> Dict[str, Any]:
-    magic = pickle.load(f)
+    magic = _header_load(f)
     if magic != _LEGACY_MAGIC:
         raise pickle.UnpicklingError("not a legacy torch checkpoint")
-    pickle.load(f)  # protocol version
-    pickle.load(f)  # sys info
+    _header_load(f)  # protocol version
+    _header_load(f)  # sys info
 
     storages: Dict[str, _Storage] = {}
     pending: Dict[str, tuple] = {}
@@ -188,7 +202,7 @@ def _load_legacy(f: BinaryIO) -> Dict[str, Any]:
     result = _Unpickler(f, loader).load()
 
     # trailing section: list of storage keys, then raw payloads
-    keys = pickle.load(f)
+    keys = _header_load(f)
     for key in keys:
         st, _numel = pending[str(key)]
         (numel_on_disk,) = struct.unpack("<q", f.read(8))

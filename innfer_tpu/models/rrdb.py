@@ -82,7 +82,16 @@ def _pallas_ok(x, act_type: str) -> bool:
 
 def _rrdb(params, x, prefix: str, *, nr: int, act_type: str, plus: bool,
           backend: str = "auto"):
-    fused = backend == "pallas" or (backend == "auto" and _use_pallas(x, act_type))
+    if backend == "pallas":
+        if not _pallas_ok(x, act_type):
+            raise ValueError(
+                "backend='pallas' requires leakyrelu activation, square "
+                f"tiles with side a 16-multiple >= 64 on TPU; got act "
+                f"{act_type!r}, shape {x.shape} on {jax.default_backend()}"
+            )
+        fused = True
+    else:
+        fused = backend == "auto" and _use_pallas(x, act_type)
     out = x
     names = ("RDB1", "RDB2", "RDB3") if nr == 3 else tuple(f"RDBs.{i}" for i in range(nr))
     for name in names:

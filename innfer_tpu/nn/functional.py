@@ -221,12 +221,20 @@ def act(kind: Optional[str], x: Array, *, neg_slope: float = 0.2, params=None, k
     if kind in ("leakyrelu", "lrelu"):
         return leaky_relu(x, neg_slope)
     if kind == "prelu":
+        if params is None:
+            raise NotImplementedError(
+                "prelu activation needs parameter plumbing at this call site"
+            )
         return prelu(x, params[key + ".weight"])
     if kind == "tanh":
         return tanh(x)
     if kind == "sigmoid":
         return sigmoid(x)
     if kind == "swish":
+        if params is None:
+            raise NotImplementedError(
+                "swish activation needs parameter plumbing at this call site"
+            )
         return swish(x, params[key + ".beta"])
     raise NotImplementedError(f"activation layer [{kind}] is not found")
 

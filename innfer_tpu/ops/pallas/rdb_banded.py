@@ -97,19 +97,30 @@ def _banded_kernel(
         return ((g_row >= HALO) & (g_row < HALO + t_h)
                 & (g_col >= HALO) & (g_col < HALO + t_w))
 
-    def contribute(src_ref, lane0, c_s, wt_ref, col0):
-        """One sweep: per band, a nine-tap K-packed matmul into acc."""
+    def _shift_tile(v, k):
+        """out[i] = v[i+k] for |k| a 16-row multiple: aligned slice+concat
+        (zero fill lands in the band margins, like roll wrap)."""
+        z = jnp.zeros((abs(k), v.shape[1]), v.dtype)
+        if k > 0:
+            return jnp.concatenate([v[k:], z], axis=0)
+        return jnp.concatenate([z, v[:k]], axis=0)
+
+    def contribute(src_ref, c_s, wt_ref, col0):
+        """One sweep: per band, a nine-tap K-packed matmul into acc.
+
+        Sources live at lanes [0, c_s) of their buffer, so the lane slice is
+        offset-0 (no relayout); the dx +-1 shifts are the ONLY rotates and
+        the dy +-wp shifts are tile-aligned concats (wp is a 16-multiple)."""
         w = wt_ref[:]
         for i in range(n_bands):
             # canvas rows [i*band - 1, i*band + band + 1) = ref rows
             # [i*band, i*band + band + 2)  (margin offset +1)
             raw = src_ref[i * band: i * band + band + 2]
-            raw = raw.reshape((band + 2) * wp, LANE).astype(f32)
-            flat = _canon(raw[:, lane0: lane0 + c_s])
+            flat = raw.reshape((band + 2) * wp, LANE).astype(f32)[:, :c_s]
             trio = jnp.concatenate(
                 [_roll(flat, -1), flat, _roll(flat, 1)], axis=1)
             nine = jnp.concatenate(
-                [_roll(trio, -wp), trio, _roll(trio, wp)], axis=1
+                [_shift_tile(trio, -wp), trio, _shift_tile(trio, wp)], axis=1
             ).astype(cdt)
             contrib = jnp.dot(nine[wp: wp + band * wp], w,
                               preferred_element_type=f32)
@@ -126,23 +137,20 @@ def _banded_kernel(
         for i in range(n_bands):
             r0 = 1 + i * band
             a = acc[r0: r0 + band].astype(f32).reshape(band * wp, n_total)
-            pre = _canon(a[:, col0: col0 + gc])
+            pre = a[:, col0: col0 + gc]
+            if col0 % LANE:
+                pre = _canon(pre)  # col0 slices at 32/64/96 need relayout
             v = jnp.where(pre >= 0, pre, pre * neg_slope)
-            v = jnp.where(band_mask(i), v, 0.0)
-            v = _canon(v).astype(cdt)
-            parts = []
-            if col0:
-                parts.append(jnp.zeros((band * wp, col0), cdt))
-            parts.append(v)
-            if LANE - col0 - gc:
-                parts.append(jnp.zeros((band * wp, LANE - col0 - gc), cdt))
-            filled = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            v = jnp.where(band_mask(i), v, 0.0).astype(cdt)
+            # store at lanes [0, gc) — sources are always read from lane 0
+            filled = jnp.concatenate(
+                [v, jnp.zeros((band * wp, LANE - gc), cdt)], axis=1)
             xs[r0: r0 + band] = filled.reshape(band, wp, LANE)
 
-    contribute(x_vm, 0, nf, wt0, 0)
+    contribute(x_vm, nf, wt0, 0)
     for s, wt_ref in ((1, wt1), (2, wt2), (3, wt3), (4, wt4)):
         activate(s)
-        contribute(xs, (s - 1) * gc, gc, wt_ref, s * gc)
+        contribute(xs, gc, wt_ref, s * gc)
 
     # ---- output: x5*0.2 + x over the center rows [HALO, HALO+bh) ----
     for i in range(n_bands):
@@ -152,10 +160,11 @@ def _banded_kernel(
             continue
         r0 = 1 + i * band
         a = acc[r0: r0 + band].astype(f32).reshape(band * wp, n_total)
-        x5 = _canon(a[:, 4 * gc: 4 * gc + nf])
-        xf = _canon(
-            x_vm[r0: r0 + band].reshape(band * wp, LANE).astype(f32)[:, :nf])
-        o = _canon(x5 * 0.2 + xf).astype(cdt)
+        x5 = a[:, 4 * gc: 4 * gc + nf]
+        if (4 * gc) % LANE:
+            x5 = _canon(x5)
+        xf = x_vm[r0: r0 + band].reshape(band * wp, LANE).astype(f32)[:, :nf]
+        o = (x5 * 0.2 + xf).astype(cdt)
         full = jnp.concatenate(
             [o, jnp.zeros((band * wp, LANE - nf), cdt)], axis=1
         ).reshape(band, wp, LANE)
@@ -192,9 +201,13 @@ def fused_rdb_banded(
     bh, bw = block
     bh, bw = min(bh, t_h), min(bw, t_w)
     if t_h % bh:
-        bh = next(d for d in (128, 64, 32, 16, 8) if t_h % d == 0)
+        bh = next((d for d in (128, 64, 32, 16, 8) if t_h % d == 0), None)
     if t_w % bw:
-        bw = next(d for d in (112, 128, 64, 48, 32, 16, 8) if t_w % d == 0)
+        bw = next((d for d in (112, 128, 64, 48, 32, 16, 8) if t_w % d == 0), None)
+    if bh is None or bw is None:
+        raise ValueError(
+            f"fused_rdb_banded needs H, W divisible by 8; got {t_h}x{t_w}"
+        )
     band = min(band, 1 + ((bh + 2 * HALO - 1) // 8) * 8)
     hp = bh + 2 * HALO
     wp = -(-(bw + 2 * HALO) // 16) * 16

@@ -239,8 +239,11 @@ class InferenceSession:
     ):
         self.presets = presets or select_presets(arch, models_arg)
         self.compute_dtype = compute_dtype
-        paths, scales = parse_models(models_arg, [scale] * len(models_arg.split("+"))
-                                     if scale else None, models_dir)
+        n_chain = len(models_arg.split("+") if "+" in models_arg
+                      else models_arg.split(">"))
+        paths, scales = parse_models(models_arg,
+                                     [scale] * n_chain if scale else None,
+                                     models_dir)
         self.stages: List[Stage] = []
         for path, sc in zip(paths, scales):
             model, params = load_model(
@@ -306,9 +309,10 @@ class InferenceSession:
             img = iio.modcrop(img, 4)
         return img
 
-    def run_image(self, img: np.ndarray) -> np.ndarray:
+    def run_image(self, img: np.ndarray, *, already_prepared: bool = False) -> np.ndarray:
         """Full per-image pipeline: prepare -> chain -> uint8 BGR out."""
-        img = self.prepare(img)
+        if not already_prepared:
+            img = self.prepare(img)
         t_img = np2tensor(img, normalize=self.presets.normalize,
                           dtype=self.compute_dtype)
         t_out = t_img
@@ -356,7 +360,7 @@ class InferenceSession:
             ctx = timers.stage("image") if timers else _nullctx()
             with ctx:
                 img_in = self.prepare(img)
-                out = self.run_image(img)
+                out = self.run_image(img_in, already_prepared=True)
                 if use_color_fix:
                     out = np.asarray(color_fix(jnp.asarray(img_in), jnp.asarray(out)))
             dst = osp.join(output_dir, f"{name}.png")

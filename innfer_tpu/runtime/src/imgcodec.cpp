@@ -61,8 +61,10 @@ int decode_png(const char* path, uint8_t** out, int* h, int* w, int* c) {
   if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
-  // match cv2: BGR channel order
-  if (color_type == PNG_COLOR_TYPE_RGB || color_type == PNG_COLOR_TYPE_RGB_ALPHA)
+  // match cv2: BGR channel order.  Palette images become RGB via
+  // png_set_palette_to_rgb, so they need the swap too.
+  if (color_type == PNG_COLOR_TYPE_RGB || color_type == PNG_COLOR_TYPE_RGB_ALPHA ||
+      color_type == PNG_COLOR_TYPE_PALETTE)
     png_set_bgr(png);
   png_read_update_info(png, info);
 

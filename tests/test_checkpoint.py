@@ -145,3 +145,27 @@ def test_infer_plus_and_out_nc():
 def test_infer_wbc():
     cfg = infer_params("wbcunet", {"conv.weight": np.zeros((32, 3, 7, 7)), "conv_9.weight": np.zeros((3, 32, 7, 7))})
     assert cfg["type"] == "wbcunet_net" and cfg["nf"] == 32
+
+
+def test_legacy_header_rejects_globals(tmp_path):
+    """The legacy format's header pickles must not execute code either."""
+    import pickle
+
+    p = str(tmp_path / "evil_legacy.pth")
+    with open(p, "wb") as f:
+        pickle.dump(0x1950A86A20F9469CFC6C, f)  # valid magic
+        f.write(pickle.dumps(print))  # malicious 'protocol version'
+    with pytest.raises(Exception):
+        load_checkpoint(p)
+
+
+def test_explicit_scale_vs_positional_inference(rng):
+    """3x checkpoints look like 2x to the positional trick (run.py:121-128):
+    an explicit/filename scale wins inside that {2,3} ambiguity class, but a
+    scale contradicting the layout is rejected (it could not load)."""
+    state = _fake_esrgan_state(nb=2, nf=16, scale=2)
+    assert infer_params("esrgan", state, scale=3)["upscale"] == 3
+    assert infer_params("esrgan", state)["upscale"] == 2
+    # contradiction: forcing 2 onto a 4x layout keeps the inferred 4
+    state4 = _fake_esrgan_state(nb=2, nf=16, scale=4)
+    assert infer_params("esrgan", state4, scale=2)["upscale"] == 4

@@ -82,3 +82,15 @@ def test_prefetch_loader_order_and_fallback(lib, tmp_path, rng):
         np.testing.assert_array_equal(img, imgs[idx])
     loader.close()
     assert seen == list(range(len(paths)))  # submission order preserved
+
+
+def test_palette_png_matches_cv2(lib, tmp_path, rng):
+    """Indexed-color PNGs must come back BGR like cv2 (palette->rgb + bgr)."""
+    from PIL import Image
+
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    p = str(tmp_path / "pal.png")
+    Image.fromarray(img[:, :, ::-1]).convert("P", palette=Image.ADAPTIVE).save(p)
+    ours = native.decode(p)
+    theirs = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(ours, theirs)
