@@ -86,7 +86,10 @@ def main():
     elif args.model == "srresnet":
         model, params = SP.build("srresnet", scale=args.scale, dtype=dtype,
                                  nb=16, nf=64)
-        hh, ww = (h // 8) * 8, (w // 8) * 8
+        # whole-image (reference no-chop path); 4x at 1080p overflows the
+        # 16GB HBM (pixelshuffle intermediates at 4320p), so cap at 720p
+        hh, ww = min(h, 720), min(w, 1280)
+        hh, ww = (hh // 8) * 8, (ww // 8) * 8
         x = jnp.asarray(rng.random((1, hh, ww, 3), np.float32), dtype)
         fwd = jax.jit(model.apply)
         step, out_mp = (lambda: fwd(params, x)), hh * ww * args.scale ** 2 / 1e6

@@ -15,6 +15,7 @@ bucketing, and --profile for a jax.profiler trace.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -57,13 +58,20 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.cpu:
-        import os
-
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: TPU compiles are expensive (tens of
+    # seconds per shape); cache them across CLI invocations
+    try:
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "innfer_tpu", "xla")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from innfer_tpu.pipeline import InferenceSession, select_presets

@@ -113,3 +113,23 @@ class TestGuidedFilterModes:
         assert out.shape == (1, 16, 16, 3)
         with pytest.raises(ValueError):
             guided_filter(x, y, r=1, mode="conv")
+
+
+class TestConvertCLI:
+    def test_mesrgan_to_esrgan_conversion(self, tmp_path):
+        import os.path as osp
+
+        from innfer_tpu.checkpoint.torch_pickle import load_checkpoint
+        from innfer_tpu.tools.convert import main
+
+        src = osp.join(osp.dirname(__file__), "goldens", "mesrgan_x4.pth")
+        dst = str(tmp_path / "flat.pth")
+        assert main([src, dst, "--remap", "mod2normal", "--dtype", "fp16"]) == 0
+        state = load_checkpoint(dst)
+        assert "model.0.weight" in state and "conv_first.weight" not in state
+        assert np.asarray(state["model.0.weight"]).dtype == np.float16
+        # converted checkpoint loads through the normal auto path
+        from innfer_tpu.loader import load_model
+
+        model, params = load_model(dst)
+        assert model.name == "rrdb_net" and model.scale == 4
