@@ -188,3 +188,22 @@ class TestFusedChain:
         assert fused_out.shape == seq_out.shape == (24 * 8, 32 * 8, 3)
         # different blend spaces -> close but not identical
         assert psnr_np(fused_out, seq_out) > 25
+
+
+class TestPPONTiled:
+    def test_ppon_chop_selects_perceptual_output(self, tmp_path):
+        """PPON under the default preset runs tiled; the runner must select
+        output index 2 (reference run.py:191-192)."""
+        import json
+
+        inp, out = tmp_path / "in", tmp_path / "out"
+        inp.mkdir()
+        _write_png(inp / "a.png", 24, 24)
+        sess = InferenceSession(
+            osp.join(GOLDENS, "ppon_x4.pth"),
+            compute_dtype=jnp.float32, tile=16, overlap=8, tile_batch=4,
+        )
+        assert sess.stages[0].model.output_index == 2
+        written = sess.process(str(inp), str(out), verbose=False)
+        im = cv2.imread(written[0])
+        assert im.shape == (96, 96, 3)
