@@ -17,7 +17,7 @@ key-by-key against the reference loader (/root/reference/run.py:93).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax

@@ -25,7 +25,6 @@ Reference behaviors reimplemented (cited for parity auditing, not copied):
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple, Union
 
 import jax

@@ -28,7 +28,7 @@ recycled source buffer cannot keep x2 alive until stage 4.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

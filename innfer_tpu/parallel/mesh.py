@@ -15,7 +15,7 @@ used by tests and the driver dry-run.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import numpy as np

@@ -17,9 +17,8 @@ accumulation is preserved inside every conv (innfer_tpu.nn.functional).
 from __future__ import annotations
 
 import os.path as osp
-import re
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,7 @@ import numpy as np
 
 from innfer_tpu.io import images as iio
 from innfer_tpu.loader import load_model
-from innfer_tpu.models.base import ModelDef, Params, cast_params
+from innfer_tpu.models.base import ModelDef, Params
 from innfer_tpu.ops import colors
 from innfer_tpu.ops.filters import color_fix, guided_filter
 from innfer_tpu.tiling.engine import TiledRunner

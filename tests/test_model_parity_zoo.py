@@ -174,3 +174,14 @@ class TestScale3:
     @pytest.mark.parametrize("name", ["esrgan_x3", "srresnet_x3"])
     def test_parity(self, name):
         run_explicit(name)
+
+
+class TestMoreVariants:
+    def test_esrgan_lite(self):
+        run_explicit("esrganlite_x4")
+
+    def test_unet256_depth8(self):
+        run_explicit("unet256")
+
+    def test_cyclegan_6blocks(self):
+        run_explicit("cyclegan6", strict=False)
