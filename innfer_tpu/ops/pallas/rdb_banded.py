@@ -1,4 +1,11 @@
-"""Banded fused Residual Dense Block kernel (production variant).
+"""Banded fused Residual Dense Block kernel (experimental).
+
+STATUS (round 1): numerically exact (interpret + on-chip), but on the
+current tunneled backend Mosaic emits ~150us-floor code per band iteration
+regardless of matmul size (measured via dots-only diagnostics), so this
+runs at ~7 TF/s vs XLA's ~24 TF/s conv path.  Kept as the
+architecturally-correct design for when the backend's in-kernel matmul /
+ref-RMW performance improves.
 
 Same math as ops/pallas/rdb.py (scatter-wide, K-packed 9-tap matmuls, torch
 zero-pad semantics via masking) but engineered around the backend's VMEM
