@@ -83,3 +83,26 @@ class TestRRDB:
     def test_mesrgan_autoconvert(self):
         # modified layout fingerprints as conv_first -> mod2normal -> esrgan
         run_case("mesrgan_x4")
+
+
+class TestBF16Fidelity:
+    def test_bf16_pipeline_psnr(self):
+        """bf16 compute (the TPU replacement for the reference's fp16) must
+        stay visually lossless vs fp32 — quantified, unlike the reference's
+        qualitative claim (README.md:20)."""
+        import jax.numpy as jnp
+
+        fx = np.load(os.path.join(GOLDENS, "esrgan_x4.npz"))
+        model, params = load_model(os.path.join(GOLDENS, "esrgan_x4.pth"))
+        x32 = jax.numpy.asarray(np.transpose(fx["input"], (0, 2, 3, 1)))
+        out32 = np.asarray(jax.jit(model.apply)(params, x32))
+
+        from innfer_tpu.models.base import cast_params
+
+        pb = cast_params(params, jnp.bfloat16)
+        out16 = np.asarray(
+            jax.jit(model.apply)(pb, x32.astype(jnp.bfloat16)), np.float32)
+        p = psnr(out16, out32, peak=1.0)
+        # bf16 over a 35-conv chain: comfortably above the visually
+        # lossless bar (~40 dB) though far below fp32 parity
+        assert p > 35, f"bf16 vs fp32 PSNR {p:.1f} dB"

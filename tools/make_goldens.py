@@ -104,6 +104,35 @@ def save_mesrgan_case(name, nb, nf, in_hw, seed=0):
     print(f"{name}: mesrgan scale=4 in={tuple(x.shape)}")
 
 
+def save_chop_case(name, seed=42):
+    """Reference chop_forward golden: tiled output + whole-image output."""
+    from utils.utils import extract_patches_2d, recompose_tensor  # noqa: E402
+
+    torch.manual_seed(seed)
+    cfg = get_network_G_config({"type": "esrgan", "nb": 1, "nf": 8}, 2)
+    net = get_network(dict(cfg)).eval()
+    for p in net.parameters():
+        p.requires_grad = False
+    x = torch.rand(1, 3, 24, 40)
+    patch = min(24, 40, 16)
+    patches = extract_patches_2d(img=x, patch_shape=(patch, patch),
+                                 step=[0.5, 0.5], batch_first=True).squeeze(0)
+    outs = []
+    with torch.no_grad():
+        whole = net(x)
+        for i in range(patches.size(0)):
+            outs.append(net(patches[i: i + 1]))
+    rec = recompose_tensor(torch.cat(outs, 0), 24, 40, step=0.5, scale=2)
+    os.makedirs(OUT, exist_ok=True)
+    torch.save(net.state_dict(), os.path.join(OUT, f"{name}.pth"))
+    np.savez_compressed(
+        os.path.join(OUT, f"{name}.npz"), input=x.numpy(),
+        output=rec.numpy().astype(np.float32),
+        whole=whole.numpy().astype(np.float32),
+        meta=json.dumps({"cfg": cfg, "scale": 2, "patch": 16, "step": 0.5}))
+    print(f"{name}: chop golden, {patches.size(0)} patches")
+
+
 def main():
     # --- ESRGAN / RRDBNet family ---
     save_case("esrgan_x4", {"type": "esrgan", "nb": 2, "nf": 16}, 4, (24, 24))
@@ -140,6 +169,20 @@ def main():
               seed=16, input_range=(-1.0, 1.0), extra_outputs="guided_filter")
     save_case("wbc_tf", {"type": "wbcunet_tf", "nf": 8}, 1, (32, 32), meval=False,
               seed=17, input_range=(-1.0, 1.0), extra_outputs="guided_filter")
+
+    # --- scale-3 single-upsampler variants ---
+    save_case("esrgan_x3", {"type": "esrgan", "nb": 2, "nf": 16}, 3, (17, 20), seed=21)
+    save_case("srresnet_x3", {"type": "srgan", "nb": 2, "nf": 16}, 3, (17, 20), seed=22)
+
+    # --- extra config variants ---
+    save_case("esrganlite_x4", {"type": "esrgan-lite", "nb": 2, "nf": 8}, 4, (16, 16), seed=31)
+    save_case("unet256", {"type": "unet_256", "ngf": 4}, 1, (256, 256),
+              meval=False, seed=32, input_range=(-1.0, 1.0))
+    save_case("cyclegan6", {"type": "resnet_6blocks", "ngf": 8}, 1, (48, 64),
+              seed=33, input_range=(-1.0, 1.0))
+
+    # --- reference tiled-inference golden ---
+    save_chop_case("chop_esrgan_x2")
 
 
 if __name__ == "__main__":
