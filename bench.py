@@ -57,6 +57,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from innfer_tpu.observability import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from innfer_tpu.ops.filters import guided_filter
     from innfer_tpu.tiling.engine import TiledRunner
     from tools import synth_params as SP

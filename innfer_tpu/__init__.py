@@ -13,10 +13,12 @@ See README.md / ARCHITECTURE.md.
 
 __version__ = "0.1.0"
 
-from innfer_tpu.loader import load_model, load_model_from_state  # noqa: F401
 
+def __getattr__(name):  # lazy: keep bare import light (no eager jax import)
+    if name in ("load_model", "load_model_from_state"):
+        from innfer_tpu import loader
 
-def __getattr__(name):  # lazy: keep bare import light
+        return getattr(loader, name)
     if name == "InferenceSession":
         from innfer_tpu.pipeline import InferenceSession
 

@@ -63,15 +63,9 @@ def main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    # persistent compilation cache: TPU compiles are expensive (tens of
-    # seconds per shape); cache them across CLI invocations
-    try:
-        cache_dir = os.path.join(
-            os.path.expanduser("~"), ".cache", "innfer_tpu", "xla")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-    except Exception:
-        pass
+    from innfer_tpu.observability import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from innfer_tpu.pipeline import InferenceSession, select_presets

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import os
 import time
 from collections import defaultdict
 from typing import Dict, Optional
@@ -79,3 +80,17 @@ def profile_trace(trace_dir: Optional[str]):
         return
     with jax.profiler.trace(trace_dir):
         yield
+
+
+def enable_compilation_cache() -> None:
+    """Enable jax's persistent compilation cache (TPU compiles cost tens of
+    seconds per shape on this class of backend); safe no-op on failure."""
+    import jax
+
+    try:
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "innfer_tpu", "xla")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass

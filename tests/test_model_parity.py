@@ -103,6 +103,6 @@ class TestBF16Fidelity:
         out16 = np.asarray(
             jax.jit(model.apply)(pb, x32.astype(jnp.bfloat16)), np.float32)
         p = psnr(out16, out32, peak=1.0)
-        # bf16 over a 35-conv chain: comfortably above the visually
-        # lossless bar (~40 dB) though far below fp32 parity
-        assert p > 35, f"bf16 vs fp32 PSNR {p:.1f} dB"
+        # measured 75.2 dB; assert well above the ~40 dB visually-lossless
+        # bar so a large silent precision regression fails loudly
+        assert p > 60, f"bf16 vs fp32 PSNR {p:.1f} dB"

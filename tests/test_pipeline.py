@@ -194,8 +194,6 @@ class TestPPONTiled:
     def test_ppon_chop_selects_perceptual_output(self, tmp_path):
         """PPON under the default preset runs tiled; the runner must select
         output index 2 (reference run.py:191-192)."""
-        import json
-
         inp, out = tmp_path / "in", tmp_path / "out"
         inp.mkdir()
         _write_png(inp / "a.png", 24, 24)

@@ -109,27 +109,29 @@ def save_chop_case(name, seed=42):
     from utils.utils import extract_patches_2d, recompose_tensor  # noqa: E402
 
     torch.manual_seed(seed)
-    cfg = get_network_G_config({"type": "esrgan", "nb": 1, "nf": 8}, 2)
+    h, w, patch_max, step, scale = 24, 40, 16, 0.5, 2
+    cfg = get_network_G_config({"type": "esrgan", "nb": 1, "nf": 8}, scale)
     net = get_network(dict(cfg)).eval()
     for p in net.parameters():
         p.requires_grad = False
-    x = torch.rand(1, 3, 24, 40)
-    patch = min(24, 40, 16)
+    x = torch.rand(1, 3, h, w)
+    patch = min(h, w, patch_max)
     patches = extract_patches_2d(img=x, patch_shape=(patch, patch),
-                                 step=[0.5, 0.5], batch_first=True).squeeze(0)
+                                 step=[step, step], batch_first=True).squeeze(0)
     outs = []
     with torch.no_grad():
         whole = net(x)
         for i in range(patches.size(0)):
             outs.append(net(patches[i: i + 1]))
-    rec = recompose_tensor(torch.cat(outs, 0), 24, 40, step=0.5, scale=2)
+    rec = recompose_tensor(torch.cat(outs, 0), h, w, step=step, scale=scale)
     os.makedirs(OUT, exist_ok=True)
     torch.save(net.state_dict(), os.path.join(OUT, f"{name}.pth"))
     np.savez_compressed(
         os.path.join(OUT, f"{name}.npz"), input=x.numpy(),
         output=rec.numpy().astype(np.float32),
         whole=whole.numpy().astype(np.float32),
-        meta=json.dumps({"cfg": cfg, "scale": 2, "patch": 16, "step": 0.5}))
+        meta=json.dumps({"cfg": cfg, "scale": scale, "patch": patch,
+                         "step": step}))
     print(f"{name}: chop golden, {patches.size(0)} patches")
 
 
