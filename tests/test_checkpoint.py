@@ -169,3 +169,16 @@ def test_explicit_scale_vs_positional_inference(rng):
     # contradiction: forcing 2 onto a 4x layout keeps the inferred 4
     state4 = _fake_esrgan_state(nb=2, nf=16, scale=4)
     assert infer_params("esrgan", state4, scale=2)["upscale"] == 4
+
+
+def test_torchscript_rejected(tmp_path):
+    """TorchScript archives embed torch bytecode and cannot run TPU-native;
+    the loader must reject them clearly (reference '-a ts', run.py:40-42)."""
+    class M(torch.nn.Module):
+        def forward(self, x):
+            return x * 2
+
+    p = str(tmp_path / "scripted.pt")
+    torch.jit.script(M()).save(p)
+    with pytest.raises(ValueError, match="TorchScript"):
+        load_checkpoint(p)

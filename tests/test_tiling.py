@@ -121,3 +121,20 @@ def test_plan_rejects_bad_overlap():
         make_uniform_plan(64, 64, 2, tile=16, overlap=16)
     with pytest.raises(ValueError):
         make_reference_plan(64, 64, 2, patch=16, step=0.3)
+
+
+def test_tp_sharded_params_match_replicated():
+    """Channel tensor parallelism (conv O-dim sharding) must be numerically
+    transparent: XLA inserts the collectives, results match replicated."""
+    from innfer_tpu.parallel.mesh import make_mesh, tp_shard_params
+
+    state = load_checkpoint(os.path.join(GOLDENS, "chop_esrgan_x2.pth"))
+    meta = json.loads(str(np.load(os.path.join(GOLDENS, "chop_esrgan_x2.npz"))["meta"]))
+    model, params = load_model_from_state(state, dict(meta["cfg"]))
+    x = jnp.asarray(np.random.default_rng(1).random((1, 16, 16, 3), np.float32))
+    ref = np.asarray(jax.jit(model.apply)(params, x))
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    tp = tp_shard_params(params, mesh)
+    out = np.asarray(jax.jit(model.apply)(tp, x))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
