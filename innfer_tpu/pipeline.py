@@ -284,6 +284,10 @@ class InferenceSession:
         exist only at tile granularity in VMEM/HBM working space.  Seam
         blending happens once in the final output space (a quality-neutral
         variant of per-stage blending; seams remain inside the overlap).
+
+        Note: per-stage guided filtering (the wbc preset) is not applied
+        between fused stages — use the default per-stage path for wbc
+        chains.
         """
         stages = self.stages
 
