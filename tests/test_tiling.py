@@ -138,3 +138,19 @@ def test_tp_sharded_params_match_replicated():
     tp = tp_shard_params(params, mesh)
     out = np.asarray(jax.jit(model.apply)(tp, x))
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_halo_conv_matches_unsharded(rng):
+    """Row-sharded conv with ppermute halo exchange == plain conv."""
+    from innfer_tpu.nn import functional as F
+    from innfer_tpu.parallel.spatial import halo_conv2d
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    x = jnp.asarray(rng.standard_normal((2, 64, 24, 8), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 16), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(16, dtype=np.float32))
+    ref = F.conv2d(x, w, b, padding=1)
+    out = jax.jit(
+        lambda t: halo_conv2d(t, w, b, mesh=mesh, padding=1)
+    )(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
