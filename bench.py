@@ -109,11 +109,15 @@ def main():
         hh, ww = h // 2, w // 2  # keep chain runtime reasonable
         x = jnp.asarray(rng.random((1, hh, ww, 3), np.float32), dtype)
 
+        from innfer_tpu.ops.filters import color_fix
+
+        cf = jax.jit(lambda a, b: color_fix(a * 255.0, b * 255.0))
+
         def step():
-            return r2(p2, r1(p1, x))
+            return cf(x.astype(jnp.float32), r2(p2, r1(p1, x)).astype(jnp.float32))
 
         out_mp = hh * ww * 16 / 1e6
-        desc = f"chain 1x+4x RRDB {hh}x{ww} tiled"
+        desc = f"chain 1x+4x RRDB {hh}x{ww} tiled + color-fix"
     elif args.model == "unet":
         model, params = SP.build("unet", dtype=dtype, num_downs=8, ngf=64)
         batch = 8
