@@ -49,23 +49,100 @@ def upsample_indices(upscale: int, mode: str, start: int = 2) -> Tuple[List[int]
 
 
 def apply_upsample_block(
-    params: Params, x: jax.Array, key: str, *, mode: str, factor: int, act_type: str
+    params: Params, x: jax.Array, key: str, *, mode: str, factor: int,
+    act_type: str, act_key: str = "",
 ) -> jax.Array:
     """One upsample block (upconv: nearest-resize+conv+act, reference
-    block.py:348-361; pixelshuffle: conv+shuffle+act, block.py:333-346)."""
+    block.py:348-361; pixelshuffle: conv+shuffle+act, block.py:333-346).
+
+    ``act_key`` is the positional prefix of the act submodule, needed when
+    the activation carries parameters (prelu weight / swish beta)."""
     if mode == "upconv":
         x = R.upsample_nearest(x, factor)
         x = F.conv2d(x, params[f"{key}.weight"], params.get(f"{key}.bias"), padding=1)
-        return F.act(act_type, x)
+        return F.act(act_type, x, params=params, key=act_key)
     if mode == "pixelshuffle":
         x = F.conv2d(x, params[f"{key}.weight"], params.get(f"{key}.bias"), padding=1)
         x = F.pixel_shuffle(x, factor)
-        return F.act(act_type, x)
+        return F.act(act_type, x, params=params, key=act_key)
     raise NotImplementedError(f"upsample mode [{mode}] is not found")
 
 
 def conv3x3(params: Params, x: jax.Array, key: str) -> jax.Array:
     return F.conv2d(x, params[f"{key}.weight"], params.get(f"{key}.bias"), padding=1)
+
+
+# ---------------------------------------------------------------------------
+# Reference conv_block semantics (mode CNA | NAC | CNAC, norm, act, pad)
+# ---------------------------------------------------------------------------
+
+def conv_block_layout(mode: str = "CNA", norm_type=None, act_type=None,
+                      pad_type: str = "zero") -> List[str]:
+    """Positional submodule kinds of a reference ``conv_block``.
+
+    Mirrors block.py:213-254: CNA/CNAC order is [pad?, conv, norm?, act?];
+    NAC order is [norm?, act?, pad?, conv].  Zero padding is folded into the
+    conv (no pad module); 'none' norm contributes no module.  The returned
+    list gives the state-dict positional indices torch's nn.Sequential
+    assigns (parameterless modules still consume an index).
+    """
+    mode = (mode or "CNA").upper()
+    if mode not in ("CNA", "NAC", "CNAC"):
+        raise NotImplementedError(f"Wrong conv mode [{mode}]")
+    has_pad = pad_type not in (None, "zero")
+    has_norm = norm_type not in (None, "none")
+    has_act = act_type is not None
+    if mode == "NAC":
+        order = (("norm", has_norm), ("act", has_act), ("pad", has_pad),
+                 ("conv", True))
+    else:
+        order = (("pad", has_pad), ("conv", True), ("norm", has_norm),
+                 ("act", has_act))
+    return [kind for kind, on in order if on]
+
+
+def apply_conv_block(params: Params, x: jax.Array, key_of, *,
+                     mode: str = "CNA", norm_type=None, act_type=None,
+                     pad_type: str = "zero", padding: int = 1,
+                     stride: int = 1, bn_training: bool = False,
+                     neg_slope: float = 0.2) -> jax.Array:
+    """Apply one reference-semantics conv_block.
+
+    ``key_of(i)`` maps the positional submodule index to its state-dict
+    prefix — nested call sites use ``f"{key}.{i}"`` (torch wraps the block in
+    its own Sequential); flattened call sites (the trunk/top-level
+    ``B.sequential`` which unwraps children, block.py:256-270) pass the
+    parent positional index.
+    """
+    layout = conv_block_layout(mode, norm_type, act_type, pad_type)
+    for i, kind in enumerate(layout):
+        k = key_of(i)
+        if kind == "pad":
+            x = F.pad2d(x, padding, mode=pad_type)
+        elif kind == "conv":
+            pad_amt = padding if pad_type in (None, "zero") else 0
+            x = F.conv2d(x, params[f"{k}.weight"], params.get(f"{k}.bias"),
+                         stride=stride, padding=pad_amt)
+        elif kind == "norm":
+            nt = str(norm_type).lower()
+            if nt == "batch":
+                x = F.batch_norm(
+                    x, params[f"{k}.weight"], params[f"{k}.bias"],
+                    params.get(f"{k}.running_mean"),
+                    params.get(f"{k}.running_var"), training=bn_training)
+            elif nt == "instance":
+                x = F.instance_norm(x)
+            else:
+                raise NotImplementedError(
+                    f"normalization layer [{norm_type}] is not found")
+        else:  # act
+            # NAC without norm recreates the act out-of-place
+            # (block.py:247-252) — the only inplace=False site
+            inplace = not (mode.upper() == "NAC"
+                           and norm_type in (None, "none"))
+            x = F.act(act_type, x, neg_slope=neg_slope, params=params,
+                      key=k, inplace=inplace)
+    return x
 
 
 def _outm(x, outm):

@@ -75,9 +75,8 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     self_attention = bool(cfg.get("self_attention", True))
     double_scpa = bool(cfg.get("double_scpa", False))
     ups_mode = cfg.get("ups_inter_mode", "nearest")
-    if ups_mode != "nearest":
-        # bilinear trunk upsample is config-reachable but unused by defaults
-        raise NotImplementedError(f"PAN ups_inter_mode [{ups_mode}] not supported yet")
+    if ups_mode not in ("nearest", "bilinear"):
+        raise NotImplementedError(f"PAN ups_inter_mode [{ups_mode}] not supported")
 
     if scale == 3:
         n_up, factor = 1, 3
@@ -98,7 +97,14 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     stride_mods = 5 if multi else 6
 
     def pa_up(params, x, base: int):
-        x = R.upsample_nearest(x, factor)
+        if ups_mode == "nearest":
+            x = R.upsample_nearest(x, factor)
+        else:
+            # B.Upsample(mode='bilinear') -> F.interpolate align_corners=None,
+            # i.e. the align_corners=False path (PAN_arch.py:14, block.py:310)
+            x = R.interpolate(
+                x, size=(x.shape[1] * factor, x.shape[2] * factor),
+                mode="bilinear", align_corners=False)
         x = _conv(params, x, f"upsample.{base + 1}", k=3)
         att = F.sigmoid(_conv(params, x, f"upsample.{base + 2}.conv", k=1))
         x = F.leaky_relu(x * att, 0.2)

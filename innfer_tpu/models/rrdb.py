@@ -31,23 +31,38 @@ from innfer_tpu.nn import functional as F
 import jax.numpy as jnp
 
 
-def _rdb5c(params, x, prefix: str, *, act_type: str, plus: bool):
-    """Residual Dense Block (5 convs, dense concat growth, 0.2 residual)."""
-    cat = lambda *ts: jnp.concatenate(ts, axis=-1)
-    conv = lambda i, t: F.conv2d(
-        t, params[f"{prefix}.conv{i}.0.weight"], params.get(f"{prefix}.conv{i}.0.bias"), padding=1
-    )
-    a = lambda t: F.act(act_type, t)
+def _rdb5c(params, x, prefix: str, *, act_type: str, plus: bool,
+           norm_type=None):
+    """Residual Dense Block (5 convs, dense concat growth, 0.2 residual).
 
-    x1 = a(conv(1, x))
-    x2 = a(conv(2, cat(x, x1)))
+    The RDB conv blocks always run in CNA order (RRDBNet passes mode='CNA'
+    to its RRDBs, RRDBNet_arch.py:27), so conv5 carries no act; norm_type
+    and parameterized activations (prelu/swish) are config-reachable.
+    """
+    cat = lambda *ts: jnp.concatenate(ts, axis=-1)
+    simple = norm_type in (None, "none") and act_type in (
+        "relu", "leakyrelu", "lrelu", "tanh", "sigmoid")
+    if simple:
+        conv = lambda i, t: F.conv2d(
+            t, params[f"{prefix}.conv{i}.0.weight"],
+            params.get(f"{prefix}.conv{i}.0.bias"), padding=1)
+        a = lambda t: F.act(act_type, t)
+        cb = lambda i, t, act: a(conv(i, t)) if act else conv(i, t)
+    else:
+        def cb(i, t, act):
+            return C.apply_conv_block(
+                params, t, lambda j: f"{prefix}.conv{i}.{j}", mode="CNA",
+                norm_type=norm_type, act_type=act_type if act else None)
+
+    x1 = cb(1, x, True)
+    x2 = cb(2, cat(x, x1), True)
     if plus:
         x2 = x2 + F.conv2d(x, params[f"{prefix}.conv1x1.weight"], None)
-    x3 = a(conv(3, cat(x, x1, x2)))
-    x4 = a(conv(4, cat(x, x1, x2, x3)))
+    x3 = cb(3, cat(x, x1, x2), True)
+    x4 = cb(4, cat(x, x1, x2, x3), True)
     if plus:
         x4 = x4 + x2
-    x5 = conv(5, cat(x, x1, x2, x3, x4))
+    x5 = cb(5, cat(x, x1, x2, x3, x4), False)
     return x5 * jnp.asarray(0.2, x.dtype) + x
 
 
@@ -81,13 +96,14 @@ def _pallas_ok(x, act_type: str) -> bool:
 
 
 def _rrdb(params, x, prefix: str, *, nr: int, act_type: str, plus: bool,
-          backend: str = "auto"):
+          backend: str = "auto", norm_type=None):
     if backend == "pallas":
-        if not _pallas_ok(x, act_type):
+        if not _pallas_ok(x, act_type) or norm_type not in (None, "none"):
             raise ValueError(
-                "backend='pallas' requires leakyrelu activation, square "
-                f"tiles with side a 16-multiple >= 64 on TPU; got act "
-                f"{act_type!r}, shape {x.shape} on {jax.default_backend()}"
+                "backend='pallas' requires leakyrelu activation, no norm "
+                "layers, square tiles with side a 16-multiple >= 64 on TPU; "
+                f"got act {act_type!r}, norm {norm_type!r}, shape {x.shape} "
+                f"on {jax.default_backend()}"
             )
         fused = True
     else:
@@ -98,7 +114,8 @@ def _rrdb(params, x, prefix: str, *, nr: int, act_type: str, plus: bool,
         if fused:
             out = _rdb5c_pallas(params, out, f"{prefix}.{name}", plus=plus)
         else:
-            out = _rdb5c(params, out, f"{prefix}.{name}", act_type=act_type, plus=plus)
+            out = _rdb5c(params, out, f"{prefix}.{name}", act_type=act_type,
+                         plus=plus, norm_type=norm_type)
     return out * jnp.asarray(0.2, x.dtype) + x
 
 
@@ -109,34 +126,49 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     upscale = int(cfg.get("upscale", 4))
     act_type = cfg.get("act_type", "leakyrelu")
     plus = bool(cfg.get("plus", False))
-    mode = cfg.get("upsample_mode", "upconv")
+    up_mode = cfg.get("upsample_mode", "upconv")
     finalact = cfg.get("finalact")
     outm = cfg.get("outm")
-    if cfg.get("norm_type") not in (None, "none"):
-        raise NotImplementedError("RRDBNet with norm layers is not supported")
+    norm_type = cfg.get("norm_type")
+    if norm_type in ("none",):
+        norm_type = None
+    conv_mode = cfg.get("mode", "CNA")
+    if norm_type not in (None, "batch", "instance"):
+        raise NotImplementedError(
+            f"normalization layer [{norm_type}] is not found")
     if cfg.get("convtype", "Conv2D") != "Conv2D":
         raise NotImplementedError(f"convtype {cfg.get('convtype')} not supported")
 
     _n_up, factor = C.n_upscale_blocks(upscale)
-    up_convs, hr0 = C.upsample_indices(upscale, mode)
+    up_convs, hr0 = C.upsample_indices(upscale, up_mode)
     backend = cfg.get("backend", "auto")  # auto | pallas | xla
+    # the act submodule's flat index inside each upsample block:
+    # upconv [Up, conv@ci, act@ci+1]; pixelshuffle [conv@ci, PS, act@ci+2]
+    act_off = 1 if up_mode == "upconv" else 2
 
     def apply(params, x: jax.Array) -> jax.Array:
         fea = C.conv3x3(params, x, "model.0")
         t = fea
         for i in range(nb):
             t = _rrdb(params, t, f"model.1.sub.{i}", nr=nr, act_type=act_type,
-                      plus=plus, backend=backend)
-        t = C.conv3x3(params, t, f"model.1.sub.{nb}")
+                      plus=plus, backend=backend, norm_type=norm_type)
+        # LR_conv: mode/norm-dependent layout, flattened into the trunk
+        # sequential at positional base nb (RRDBNet_arch.py:29)
+        t = C.apply_conv_block(
+            params, t, lambda j: f"model.1.sub.{nb + j}", mode=conv_mode,
+            norm_type=norm_type, act_type=None)
         h = fea + t  # ShortcutBlock (block.py:183-194)
         for ci in up_convs:
             h = C.apply_upsample_block(
-                params, h, f"model.{ci}", mode=mode, factor=factor, act_type=act_type
-            )
-        h = F.act(act_type, C.conv3x3(params, h, f"model.{hr0}"))
+                params, h, f"model.{ci}", mode=up_mode, factor=factor,
+                act_type=act_type, act_key=f"model.{ci + act_off}")
+        h = F.act(act_type, C.conv3x3(params, h, f"model.{hr0}"),
+                  params=params, key=f"model.{hr0 + 1}")
         h = C.conv3x3(params, h, f"model.{hr0 + 2}")
         if finalact:
-            h = F.act(finalact, h)
+            # outact is appended to the top-level sequential after HR_conv1
+            # (RRDBNet_arch.py:45-48)
+            h = F.act(finalact, h, params=params, key=f"model.{hr0 + 3}")
         return _outm(h, outm)
 
     return ModelDef(

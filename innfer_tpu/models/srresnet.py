@@ -1,11 +1,19 @@
 """SRResNet (SRGAN generator) in pure JAX, NHWC.
 
-Parity target: /root/reference/architectures/SRResNet_arch.py:15-91 with the
-library defaults (norm_type=None, act relu, mode CNA, pixelshuffle upsample,
-res_scale=1; reference utils/defaults.py:53-67).  Same flattened-sequential
-macro skeleton as RRDBNet; the trunk blocks are plain conv-relu-conv
-residuals ('model.1.sub.<i>.res.{0,2}' keys — the srgan fingerprint key at
-run.py:54).
+Parity target: /root/reference/architectures/SRResNet_arch.py:15-91.  Same
+flattened-sequential macro skeleton as RRDBNet; the trunk blocks are
+ResNetBlocks whose two conv_blocks follow the configured mode:
+
+  CNA  : conv0 = [conv, norm?, act], conv1 = [conv, norm?]   (act cleared)
+  CNAC : conv0 = [conv, norm?, act], conv1 = [conv]          (act+norm cleared)
+  NAC  : conv0 = [norm?, act, conv], conv1 = [norm?, act, conv]
+
+(ResNetBlock act/norm clearing: SRResNet_arch.py:73-78; conv_block ordering:
+block.py:213-254.)  ``self.res = B.sequential(conv0, conv1)`` flattens both
+blocks' children into one positional list, which determines the state-dict
+keys (``model.1.sub.<i>.res.<j>``; the srgan fingerprint key at run.py:54).
+The default library config (norm None, act relu, mode CNA, pixelshuffle)
+keeps the historical ``res.0``/``res.2`` conv keys.
 """
 from __future__ import annotations
 
@@ -24,19 +32,38 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     nb = cfg["nb"]
     upscale = int(cfg.get("upscale", 4))
     act_type = cfg.get("act_type", "relu")
-    mode = cfg.get("upsample_mode", "pixelshuffle")
+    up_mode = cfg.get("upsample_mode", "pixelshuffle")
     res_scale = float(cfg.get("res_scale", 1))
     finalact = cfg.get("finalact")
     outm = cfg.get("outm")
-    if cfg.get("norm_type") not in (None, "none"):
-        raise NotImplementedError("SRResNet with norm layers is not supported")
+    norm_type = cfg.get("norm_type")
+    if norm_type in ("none",):
+        norm_type = None
+    conv_mode = (cfg.get("mode") or "CNA").upper()
+    if norm_type not in (None, "batch", "instance"):
+        raise NotImplementedError(
+            f"normalization layer [{norm_type}] is not found")
+    if conv_mode not in ("CNA", "NAC", "CNAC"):
+        raise NotImplementedError(f"Wrong conv mode [{conv_mode}]")
 
     _n_up, factor = C.n_upscale_blocks(upscale)
-    up_convs, hr0 = C.upsample_indices(upscale, mode)
+    up_convs, hr0 = C.upsample_indices(upscale, up_mode)
+    act_off = 1 if up_mode == "upconv" else 2
+
+    # ResNetBlock: conv1's act is cleared under CNA, act+norm under CNAC
+    # (SRResNet_arch.py:73-78)
+    c1_act = act_type if conv_mode == "NAC" else None
+    c1_norm = None if conv_mode == "CNAC" else norm_type
+    lay0 = C.conv_block_layout(conv_mode, norm_type, act_type)
+    len0 = len(lay0)
 
     def res_block(params, x, prefix):
-        h = F.act(act_type, C.conv3x3(params, x, f"{prefix}.res.0"))
-        h = C.conv3x3(params, h, f"{prefix}.res.2")
+        h = C.apply_conv_block(
+            params, x, lambda j: f"{prefix}.res.{j}", mode=conv_mode,
+            norm_type=norm_type, act_type=act_type)
+        h = C.apply_conv_block(
+            params, h, lambda j: f"{prefix}.res.{len0 + j}", mode=conv_mode,
+            norm_type=c1_norm, act_type=c1_act)
         return x + h * jnp.asarray(res_scale, x.dtype)
 
     def apply(params, x: jax.Array) -> jax.Array:
@@ -44,16 +71,19 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         t = fea
         for i in range(nb):
             t = res_block(params, t, f"model.1.sub.{i}")
-        t = C.conv3x3(params, t, f"model.1.sub.{nb}")
+        t = C.apply_conv_block(
+            params, t, lambda j: f"model.1.sub.{nb + j}", mode=conv_mode,
+            norm_type=norm_type, act_type=None)
         h = fea + t
         for ci in up_convs:
             h = C.apply_upsample_block(
-                params, h, f"model.{ci}", mode=mode, factor=factor, act_type=act_type
-            )
-        h = F.act(act_type, C.conv3x3(params, h, f"model.{hr0}"))
+                params, h, f"model.{ci}", mode=up_mode, factor=factor,
+                act_type=act_type, act_key=f"model.{ci + act_off}")
+        h = F.act(act_type, C.conv3x3(params, h, f"model.{hr0}"),
+                  params=params, key=f"model.{hr0 + 1}")
         h = C.conv3x3(params, h, f"model.{hr0 + 2}")
         if finalact:
-            h = F.act(finalact, h)
+            h = F.act(finalact, h, params=params, key=f"model.{hr0 + 3}")
         return _outm(h, outm)
 
     return ModelDef(name="sr_resnet", cfg=dict(cfg), apply=apply, scale=upscale)

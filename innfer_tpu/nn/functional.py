@@ -193,13 +193,25 @@ def prelu(x: Array, weight: Array) -> Array:
     return jnp.where(x >= 0, x, x * w)
 
 
-def swish(x: Array, beta: Array, slope: float = 1.67653251702) -> Array:
+def swish(x: Array, beta: Array, slope: float = 1.67653251702,
+          inplace: bool = False) -> Array:
     """Learnable-beta Swish: 2*(slope/2)*x*sigmoid(beta*x).
 
     Reference block.py:14-78 (Swish module: stored slope is user_slope/2 and
     forward multiplies by 2*self.slope, i.e. net factor = user slope).
+
+    ``inplace=True`` reproduces the reference's in-place swish_func bug
+    (block.py:36-40): ``torch.sigmoid_(beta*x)`` operates on a temporary
+    whose result is discarded, then ``x *= x.clone()``, so the module
+    actually computes ``slope * x**2``.  conv_block activations default to
+    inplace (block.py:81), so checkpoints trained with swish embody this;
+    verified empirically against the reference (tests/goldens
+    esrgan_swish_x2).
     """
-    return jnp.asarray(slope, x.dtype) * x * jax.nn.sigmoid(beta.astype(x.dtype) * x)
+    s = jnp.asarray(slope, x.dtype)
+    if inplace:
+        return s * x * x
+    return s * x * jax.nn.sigmoid(beta.astype(x.dtype) * x)
 
 
 def tanh(x: Array) -> Array:
@@ -210,8 +222,14 @@ def sigmoid(x: Array) -> Array:
     return jax.nn.sigmoid(x)
 
 
-def act(kind: Optional[str], x: Array, *, neg_slope: float = 0.2, params=None, key: str = "") -> Array:
-    """Activation dispatcher mirroring reference block.py:81-101."""
+def act(kind: Optional[str], x: Array, *, neg_slope: float = 0.2, params=None,
+        key: str = "", inplace: bool = True) -> Array:
+    """Activation dispatcher mirroring reference block.py:81-101.
+
+    ``inplace`` mirrors the reference act() default (True); it only changes
+    the math for swish (see ``swish``).  The sole out-of-place call site in
+    the reference is NAC-mode conv_blocks without norm (block.py:247-252).
+    """
     if kind is None:
         return x
     kind = kind.lower()
@@ -220,7 +238,7 @@ def act(kind: Optional[str], x: Array, *, neg_slope: float = 0.2, params=None, k
     if kind in ("leakyrelu", "lrelu"):
         return leaky_relu(x, neg_slope)
     if kind == "prelu":
-        if params is None:
+        if params is None or not key:
             raise NotImplementedError(
                 "prelu activation needs parameter plumbing at this call site"
             )
@@ -230,11 +248,11 @@ def act(kind: Optional[str], x: Array, *, neg_slope: float = 0.2, params=None, k
     if kind == "sigmoid":
         return sigmoid(x)
     if kind == "swish":
-        if params is None:
+        if params is None or not key:
             raise NotImplementedError(
                 "swish activation needs parameter plumbing at this call site"
             )
-        return swish(x, params[key + ".beta"])
+        return swish(x, params[key + ".beta"], inplace=inplace)
     raise NotImplementedError(f"activation layer [{kind}] is not found")
 
 

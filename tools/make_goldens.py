@@ -33,12 +33,32 @@ from utils.defaults import get_network_G_config  # noqa: E402
 from utils.utils import guided_filter  # noqa: E402
 
 
+def perturb_norm_state(net, seed):
+    """Randomize BN running stats + 1-dim affine params so that norm layers
+    are numerically meaningful in eval mode (fresh running stats are the
+    0-mean/1-var identity, which would not catch mis-wired norm keys)."""
+    g = torch.Generator().manual_seed(seed * 1000 + 7)
+    state = net.state_dict()
+    for k, v in state.items():
+        if k.endswith("running_mean"):
+            state[k] = torch.randn(v.shape, generator=g) * 0.2
+        elif k.endswith("running_var"):
+            state[k] = torch.rand(v.shape, generator=g) * 0.8 + 0.4
+        elif v.ndim == 1 and k.endswith(".weight"):
+            state[k] = torch.randn(v.shape, generator=g) * 0.3 + 1.0
+        elif v.ndim == 1 and k.endswith(".bias"):
+            state[k] = torch.randn(v.shape, generator=g) * 0.2
+    net.load_state_dict(state)
+
+
 def save_case(name, net_cfg, scale, in_hw, *, meval=True, seed=0, half=False,
               input_range=(0.0, 1.0), wrap_swa=False, legacy=False,
-              extra_outputs=None, in_nc=3):
+              extra_outputs=None, in_nc=3, perturb=False):
     torch.manual_seed(seed)
     cfg = get_network_G_config(dict(net_cfg), scale)
     net = get_network(dict(cfg))
+    if perturb:
+        perturb_norm_state(net, seed)
     if meval:
         net.eval()
     else:
@@ -186,6 +206,46 @@ def main():
     # --- reference tiled-inference golden ---
     save_chop_case("chop_esrgan_x2")
 
+    main_round2()
+
+
+def main_round2():
+    """Round-2 config-variant fixtures: conv_block mode / norm / act plumbing
+    (reference block.py:213-254) + PAN bilinear upsampling."""
+    save_case("esrgan_bn_x2", {"type": "esrgan", "nb": 2, "nf": 16,
+                               "norm_type": "batch"}, 2, (16, 16),
+              seed=41, perturb=True)
+    save_case("esrgan_in_x2", {"type": "esrgan", "nb": 2, "nf": 16,
+                               "norm_type": "instance"}, 2, (16, 16), seed=42)
+    save_case("esrgan_nac_bn_x2", {"type": "esrgan", "nb": 2, "nf": 16,
+                                   "norm_type": "batch", "mode": "NAC"},
+              2, (16, 16), seed=43, perturb=True)
+    save_case("esrgan_prelu_x2", {"type": "esrgan", "nb": 2, "nf": 16,
+                                  "act_type": "prelu"}, 2, (16, 16),
+              seed=44, perturb=True)
+    save_case("esrgan_swish_x2", {"type": "esrgan", "nb": 2, "nf": 16,
+                                  "act_type": "swish"}, 2, (16, 16), seed=45)
+    save_case("srresnet_bn_x2", {"type": "srgan", "nb": 3, "nf": 16,
+                                 "norm_type": "batch"}, 2, (16, 16),
+              seed=46, perturb=True)
+    save_case("srresnet_nac_bn_x2", {"type": "srgan", "nb": 3, "nf": 16,
+                                     "norm_type": "batch", "mode": "NAC"},
+              2, (16, 16), seed=47, perturb=True)
+    save_case("srresnet_cnac_bn_x2", {"type": "srgan", "nb": 3, "nf": 16,
+                                      "norm_type": "batch", "mode": "CNAC"},
+              2, (16, 16), seed=48, perturb=True)
+    save_case("pan_bilinear_x4", {"type": "pan", "nf": 8, "unf": 6, "nb": 2,
+                                  "ups_inter_mode": "bilinear"}, 4, (24, 24),
+              seed=49)
+
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only-round2", action="store_true",
+                    help="generate only the round-2 variant fixtures")
+    if ap.parse_args().only_round2:
+        main_round2()
+    else:
+        main()
