@@ -60,9 +60,12 @@ def infer_params(arch: str, state: StateDict, scale: Optional[int] = None,
             parts = key.split(".")
             if len(parts) == 5 and parts[2] == "sub":
                 nb = int(parts[3])
-            elif len(parts) == 3:
+            elif len(parts) == 3 and parts[0] == "model" and parts[1].isdigit():
+                # guard the positional parse: stray non-positional 3-part
+                # keys (e.g. 'module.conv_first.weight' leftovers) must not
+                # crash inference with a bare ValueError
                 idx = int(parts[1])
-                if idx > 6 and parts[0] == "model" and parts[2] == "weight":
+                if idx > 6 and parts[2] == "weight":
                     scale2x += 1
                 if idx > top_layer:
                     top_layer = idx

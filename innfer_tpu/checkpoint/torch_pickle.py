@@ -194,6 +194,11 @@ def _load_legacy(f: BinaryIO) -> Dict[str, Any]:
     pending: Dict[str, tuple] = {}
 
     def loader(key: str, dtype: np.dtype, numel: int) -> _Storage:
+        # BINPERSID is not memoized by pickle: tensors sharing one storage
+        # (tied weights) call this again with the same key — return the
+        # existing storage so both views get the payload
+        if key in storages:
+            return storages[key]
         st = _Storage(b"", dtype)
         pending[key] = (st, numel)
         storages[key] = st

@@ -63,8 +63,14 @@ class _Opcodes:
             self.out += b"K" + bytes([v])
         elif 0 <= v < 65536:
             self.out += b"M" + struct.pack("<H", v)
-        else:
+        elif -2 ** 31 <= v < 2 ** 31:
             self.out += b"J" + struct.pack("<i", v)
+        else:
+            # LONG1 for values outside signed 32-bit (e.g. numel/stride of
+            # very large storages)
+            nbytes = (v.bit_length() + 8) // 8  # +1 sign bit headroom
+            self.out += b"\x8a" + bytes([nbytes]) + v.to_bytes(
+                nbytes, "little", signed=True)
 
     def none(self):
         self.out += b"N"

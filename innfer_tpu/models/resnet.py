@@ -36,7 +36,18 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     if pad_type not in _PAD_MODES:
         raise NotImplementedError(f"padding [{pad_type}] is not implemented")
 
-    meval = True  # overridden per-preset at runtime via partial re-build if needed
+    # train-mode BN for presets that keep the net in train() (pipeline sets
+    # cfg['meval']=False and rebuilds; mirrors unet.py and run.py:299-309)
+    meval = bool(cfg.get("meval", True))
+    use_dropout = bool(cfg.get("use_dropout", False))
+    if use_dropout and not meval:
+        import warnings
+
+        warnings.warn(
+            "resnet generator with use_dropout=True in train mode: the "
+            "reference samples Dropout(0.5) stochastically; this framework "
+            "is deterministic and treats dropout as identity, so outputs "
+            "will differ from the reference's random draws")
 
     def norm(params, x, key):
         if is_instance:
@@ -51,18 +62,26 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         return F.conv2d(x, params[f"{key}.weight"], params.get(f"{key}.bias"),
                         stride=stride, padding=pad)
 
+    # ResnetBlock conv_block indices depend on padding_type ('zero' omits
+    # the pad modules) and use_dropout (Dropout after the first relu shifts
+    # the second half); reference ResNet_arch.py build_conv_block.
+    has_pad = pad_type != "zero"
+    i_conv1 = 1 if has_pad else 0
+    i_conv2 = i_conv1 + 3 + int(use_dropout) + int(has_pad)
+
     def res_block(params, x, prefix):
-        p = 1 if pad_type == "zero" else 0
+        p = 0 if has_pad else 1
         h = x
-        if p == 0:
+        if has_pad:
             h = F.pad2d(h, 1, mode=_PAD_MODES[pad_type])
-        h = conv(params, h, f"{prefix}.conv_block.1", k=3, pad=p)
-        h = norm(params, h, f"{prefix}.conv_block.2")
+        h = conv(params, h, f"{prefix}.conv_block.{i_conv1}", k=3, pad=p)
+        h = norm(params, h, f"{prefix}.conv_block.{i_conv1 + 1}")
         h = F.relu(h)
-        if p == 0:
+        # dropout (inference): identity in eval; warned above for train mode
+        if has_pad:
             h = F.pad2d(h, 1, mode=_PAD_MODES[pad_type])
-        h = conv(params, h, f"{prefix}.conv_block.5", k=3, pad=p)
-        h = norm(params, h, f"{prefix}.conv_block.6")
+        h = conv(params, h, f"{prefix}.conv_block.{i_conv2}", k=3, pad=p)
+        h = norm(params, h, f"{prefix}.conv_block.{i_conv2 + 1}")
         return x + h
 
     # flattened Sequential indices (see module docstring layout)

@@ -45,6 +45,14 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     norm_type = cfg.get("norm_type", "batch")
     upsample_mode = cfg.get("upsample_mode", "deconv")
     meval = bool(cfg.get("meval", False))  # pix2pix preset: train-mode BN
+    if bool(cfg.get("use_dropout", False)) and not meval:
+        import warnings
+
+        warnings.warn(
+            "unet generator with use_dropout=True in train mode: the "
+            "reference samples Dropout(0.5) stochastically; this framework "
+            "is deterministic and treats dropout as identity, so outputs "
+            "will differ from the reference's random draws")
 
     if norm_type in ("BN", "batch"):
         is_instance = False

@@ -46,6 +46,46 @@ def test_load_shared_storage(tmp_path, rng):
     np.testing.assert_array_equal(state["half2"], base[8:].numpy())
 
 
+def test_load_shared_storage_legacy(tmp_path, rng):
+    """Tied weights in the legacy format: BINPERSID is not memoized, so the
+    same storage key arrives twice; both tensors must materialize."""
+    base = torch.from_numpy(rng.standard_normal(16, dtype=np.float32))
+    obj = {"a": base, "b": base, "tail": base[8:]}
+    state = _roundtrip(tmp_path, obj, legacy=True)
+    for k in ("a", "b"):
+        assert isinstance(state[k], np.ndarray), type(state[k])
+        np.testing.assert_array_equal(state[k], base.numpy())
+    np.testing.assert_array_equal(state["tail"], base[8:].numpy())
+
+
+def test_writer_large_ints_long1():
+    """ints outside signed 32-bit must be emitted as LONG1, not struct '<i'."""
+    import pickle
+
+    from innfer_tpu.checkpoint.writer import _Opcodes
+
+    for v in (7, 300, 70000, 2 ** 31 - 1, 2 ** 31, 2 ** 40 + 123):
+        ops = _Opcodes()
+        ops.int_(v)
+        assert pickle.loads(bytes(ops.out) + b".") == v
+
+
+def test_infer_ignores_stray_three_part_keys(rng):
+    """A state dict that fingerprints as esrgan but carries an extra
+    non-positional 3-part key must not crash positional inference."""
+    import math
+
+    from tools.synth_params import esrgan_state
+
+    state = {k: np.asarray(v) for k, v in
+             esrgan_state(nb=2, nf=8, gc=4, scale=2).items()}
+    state["module.conv_first.weight"] = np.zeros((8, 3, 3, 3), np.float32)
+    arch, state = fingerprint_arch(state)
+    assert arch == "esrgan"
+    cfg = infer_params(arch, state, None)
+    assert cfg["nb"] == 2 and cfg["upscale"] == 2
+
+
 def test_rejects_arbitrary_globals(tmp_path):
     import pickle, zipfile
     p = str(tmp_path / "evil.pth")

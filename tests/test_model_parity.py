@@ -94,7 +94,9 @@ def run_case_cfg(name, min_psnr=80.0):
     fx = np.load(os.path.join(GOLDENS, f"{name}.npz"))
     meta = json.loads(str(fx["meta"]))
     state = load_checkpoint(os.path.join(GOLDENS, f"{name}.pth"))
-    model, params = load_model_from_state(state, dict(meta["cfg"]))
+    cfg = dict(meta["cfg"])
+    cfg["meval"] = meta.get("meval", True)
+    model, params = load_model_from_state(state, cfg)
     x = jax.numpy.asarray(np.transpose(fx["input"], (0, 2, 3, 1)))
     out = np.transpose(np.asarray(jax.jit(model.apply)(params, x)), (0, 3, 1, 2))
     ref = fx["output"]
@@ -114,6 +116,7 @@ class TestConvBlockVariants:
         "esrgan_prelu_x2", "esrgan_swish_x2",
         "srresnet_bn_x2", "srresnet_nac_bn_x2", "srresnet_cnac_bn_x2",
         "pan_bilinear_x4",
+        "cyclegan_zero", "cyclegan_dropout", "cyclegan_bn_train",
     ])
     def test_variant(self, name):
         run_case_cfg(name)

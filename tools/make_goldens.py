@@ -237,6 +237,17 @@ def main_round2():
     save_case("pan_bilinear_x4", {"type": "pan", "nf": 8, "unf": 6, "nb": 2,
                                   "ups_inter_mode": "bilinear"}, 4, (24, 24),
               seed=49)
+    # ResNet generator variants: zero padding (conv_block.0/.3 keys),
+    # dropout (index shift, identity in eval), train-mode batch norm
+    save_case("cyclegan_zero", {"type": "resnet_6blocks", "ngf": 8,
+                                "padding_type": "zero"}, 1, (48, 48),
+              seed=50, input_range=(-1.0, 1.0))
+    save_case("cyclegan_dropout", {"type": "resnet_6blocks", "ngf": 8,
+                                   "use_dropout": True}, 1, (48, 48),
+              seed=51, input_range=(-1.0, 1.0))
+    save_case("cyclegan_bn_train", {"type": "resnet_6blocks", "ngf": 8,
+                                    "norm_type": "batch"}, 1, (48, 48),
+              seed=52, input_range=(-1.0, 1.0), meval=False, perturb=True)
 
 
 if __name__ == "__main__":
