@@ -47,10 +47,28 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Log per-stage wall-clock timings.")
     p.add_argument("--metrics", type=str, default="",
                    help="Ground-truth dir: compute PSNR/SSIM per output.")
-    p.add_argument("--shard-index", type=int, default=0,
-                   help="This host's shard of the image list (multi-host DP).")
-    p.add_argument("--num-shards", type=int, default=1,
-                   help="Total hosts striping the image list.")
+    p.add_argument("--shard-index", type=int, default=None,
+                   help="This host's shard of the image list (multi-host DP; "
+                   "defaults to the jax process index).")
+    p.add_argument("--num-shards", type=int, default=None,
+                   help="Total hosts striping the image list (defaults to "
+                   "the jax process count).")
+    p.add_argument("--dp", type=int, default=0,
+                   help="Data-parallel: shard the tile batch over this many "
+                   "local devices (-1 = all devices not used by --tp).")
+    p.add_argument("--tp", type=int, default=1,
+                   help="Tensor-parallel: shard conv output channels over "
+                   "this many devices.")
+    p.add_argument("--spatial", action="store_true",
+                   help="Whole-image forwards H-sharded over the --dp mesh "
+                   "(halo-exchange convs) instead of tiling; for images too "
+                   "large to tile-batch.")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="jax.distributed coordinator address (multi-host).")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="jax.distributed process count (multi-host).")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="This process's id for jax.distributed.")
     return p
 
 
@@ -70,8 +88,27 @@ def main(argv=None) -> int:
 
     from innfer_tpu.pipeline import InferenceSession, select_presets
 
+    # multi-host first (must run before local device queries)
+    from innfer_tpu.parallel.multihost import init_distributed
+
+    rank, world = init_distributed(
+        args.coordinator, args.num_processes, args.process_id)
+    shard_index = rank if args.shard_index is None else args.shard_index
+    num_shards = world if args.num_shards is None else args.num_shards
+
     on_tpu = jax.devices()[0].platform != "cpu"
     compute_dtype = jnp.float32 if (args.no_lowp or not on_tpu) else jnp.bfloat16
+
+    mesh = None
+    if args.dp not in (0, 1) or args.tp > 1:
+        from innfer_tpu.parallel.mesh import make_mesh
+
+        n_data = None if args.dp in (0, 1, -1) else args.dp
+        mesh = make_mesh(n_data=n_data, n_model=args.tp)
+
+    if args.spatial and mesh is None:
+        raise SystemExit("--spatial requires a device mesh; add --dp N "
+                         "(and optionally --tp N)")
 
     presets = select_presets(args.arch, args.models, norm_flag=args.norm)
     if args.tile_mode == "none":
@@ -89,6 +126,8 @@ def main(argv=None) -> int:
         tile_batch=args.tile_batch,
         bucket=args.bucket,
         scale=args.scale,
+        mesh=mesh,
+        spatial=args.spatial,
     )
 
     from innfer_tpu.observability import StageTimers, profile_trace
@@ -97,7 +136,7 @@ def main(argv=None) -> int:
     with profile_trace(args.profile):
         session.process(
             args.input, args.output, use_color_fix=args.cf, comp=args.comp,
-            shard_index=args.shard_index, num_shards=args.num_shards,
+            shard_index=shard_index, num_shards=num_shards,
             metrics_dir=args.metrics or None, timers=timers,
         )
     if timers is not None:

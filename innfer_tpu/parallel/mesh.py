@@ -29,6 +29,13 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     if n_data is None:
         n_data = len(devices) // n_model
     use = n_data * n_model
+    if use < 1 or use > len(devices):
+        raise ValueError(
+            f"mesh needs data*model = {n_data}*{n_model} = {use} devices, "
+            f"but only {len(devices)} are available "
+            f"(platform {devices[0].platform if devices else '?'}); for a "
+            "virtual test mesh set XLA_FLAGS="
+            "--xla_force_host_platform_device_count=N with JAX_PLATFORMS=cpu")
     arr = np.array(devices[:use]).reshape(n_data, n_model)
     return Mesh(arr, ("data", "model"))
 

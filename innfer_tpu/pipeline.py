@@ -235,6 +235,7 @@ class InferenceSession:
         bucket: int = 0,
         mesh=None,
         scale: Optional[int] = None,
+        spatial: bool = False,
     ):
         self.presets = presets or select_presets(arch, models_arg)
         self.compute_dtype = compute_dtype
@@ -243,12 +244,24 @@ class InferenceSession:
         paths, scales = parse_models(models_arg,
                                      [scale] * n_chain if scale else None,
                                      models_dir)
+        if mesh is not None:
+            # dp requires whole chunks per device; round the tile batch up
+            n_data = mesh.shape.get("data", 1)
+            tile_batch = -(-tile_batch // n_data) * n_data
         self.stages: List[Stage] = []
         for path, sc in zip(paths, scales):
             model, params = load_model(
                 path, arch=self.presets.arch, scale=sc,
                 strict=self.presets.strict, param_dtype=compute_dtype,
             )
+            if mesh is not None:
+                from innfer_tpu.parallel.mesh import (replicate_params,
+                                                      tp_shard_params)
+
+                if mesh.shape.get("model", 1) > 1:
+                    params = tp_shard_params(params, mesh)
+                else:
+                    params = replicate_params(params, mesh)
             if not self.presets.meval:
                 model.cfg["meval"] = False
                 # rebuild with train-mode norm behavior (pix2pix BN)
@@ -258,14 +271,28 @@ class InferenceSession:
                 rebuilt.remap = model.remap
                 model = rebuilt
             runner = None
-            if self.presets.chop:
+            chop = self.presets.chop
+            if spatial and mesh is not None:
+                # intra-image spatial sharding: whole-image forward,
+                # H-sharded over the mesh with per-conv halo exchange
+                from innfer_tpu.parallel.spatial_model import (
+                    SpatialRunner, spatial_supported)
+
+                if not spatial_supported(model.cfg):
+                    raise NotImplementedError(
+                        f"--spatial does not support this architecture/"
+                        f"config ({model.cfg.get('type')}); remove --spatial "
+                        "to use the tiled engine")
+                runner = SpatialRunner(model, mesh)
+                chop = True  # route Stage through the runner
+            elif chop:
                 runner = TiledRunner(
                     model.apply, model.scale, mode=tile_mode, tile=tile,
                     overlap=overlap, tile_batch=tile_batch, bucket=bucket,
                     output_index=model.output_index, mesh=mesh,
                     compute_dtype=compute_dtype,
                 )
-            self.stages.append(Stage(model, params, self.presets.chop, runner))
+            self.stages.append(Stage(model, params, chop, runner))
 
     @property
     def total_scale(self) -> int:

@@ -166,6 +166,55 @@ class TestCLI:
         assert rc == 0
         assert cv2.imread(str(out / "img.png")).shape == (40, 56, 3)
 
+    def test_cli_multichip_dp_tp_matches_single(self, tmp_path):
+        """--dp/--tp build a (data, model) mesh and must reproduce the
+        single-device output (runs on the virtual 8-device CPU mesh)."""
+        from innfer_tpu.cli import main
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        _write_png(inp / "img.png", 20, 28)
+        base_args = [
+            "-m", osp.join(GOLDENS, "esrgan_x2.pth"),
+            "-i", str(inp),
+            "--tile", "16", "--overlap", "8", "-no_fp16", "-cpu",
+        ]
+        out1, out2 = tmp_path / "out1", tmp_path / "out2"
+        assert main(base_args + ["-o", str(out1)]) == 0
+        assert main(base_args + ["-o", str(out2),
+                                 "--dp", "4", "--tp", "2",
+                                 "--tile-batch", "4"]) == 0
+        a = cv2.imread(str(out1 / "img.png"))
+        b = cv2.imread(str(out2 / "img.png"))
+        assert a.shape == b.shape == (40, 56, 3)
+        # fp32 on CPU: sharded accumulation may reorder sums by one ulp,
+        # which can flip an exact-half uint8 rounding; allow <=1 step
+        import numpy as np
+
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+    def test_cli_spatial_mode(self, tmp_path):
+        """--spatial --dp 8: whole-image H-sharded forward end-to-end."""
+        from innfer_tpu.cli import main
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        _write_png(inp / "img.png", 24, 20)
+        base_args = [
+            "-m", osp.join(GOLDENS, "esrgan_x2.pth"),
+            "-i", str(inp), "-no_fp16", "-cpu",
+        ]
+        out1, out2 = tmp_path / "s1", tmp_path / "s2"
+        # reference: whole-image forward, no tiling
+        assert main(base_args + ["-o", str(out1), "--tile-mode", "none"]) == 0
+        assert main(base_args + ["-o", str(out2), "--spatial", "--dp", "8"]) == 0
+        a = cv2.imread(str(out1 / "img.png"))
+        b = cv2.imread(str(out2 / "img.png"))
+        assert a.shape == b.shape == (48, 40, 3)
+        import numpy as np
+
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
 
 class TestFusedChain:
     def test_fused_chain_matches_sequential(self, tmp_path):
