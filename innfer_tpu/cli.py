@@ -36,9 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Directory searched for partial model names.")
     p.add_argument("--tile", type=int, default=256, help="Tile size (input pixels).")
     p.add_argument("--overlap", type=int, default=16, help="Tile overlap (input pixels).")
-    p.add_argument("--tile-mode", choices=["uniform", "reference", "none"],
-                   default="uniform", help="Tiling strategy; 'reference' matches the "
-                   "original chop grid, 'none' forces whole-image forwards.")
+    p.add_argument("--tile-mode", choices=["auto", "uniform", "reference", "none"],
+                   default="auto", help="Tiling strategy; 'auto' grid-fits a "
+                   "(possibly rectangular) tile size per image for minimal "
+                   "waste, 'uniform' uses the fixed --tile grid, 'reference' "
+                   "matches the original chop grid, 'none' forces whole-image "
+                   "forwards.")
     p.add_argument("--tile-batch", type=int, default=8, help="Tiles per compiled step.")
     p.add_argument("--bucket", type=int, default=0, help="Pad compile shapes to multiples.")
     p.add_argument("--profile", type=str, default="",

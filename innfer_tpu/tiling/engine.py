@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from innfer_tpu.tiling.plan import TilePlan, make_reference_plan, make_uniform_plan
+from innfer_tpu.tiling.plan import (TilePlan, make_auto_plan,
+                                    make_reference_plan, make_uniform_plan)
 
 Array = jax.Array
 
@@ -41,14 +42,14 @@ def pad_image(x: Array, plan: TilePlan) -> Array:
 
 
 def extract_tiles(x: Array, plan: TilePlan) -> Array:
-    """(1, pad_h, pad_w, C) -> (N, T, T, C) via two static gathers."""
-    t = plan.tile
-    h_idx = jnp.asarray(np.asarray(plan.starts_h)[:, None] + np.arange(t)[None])
-    w_idx = jnp.asarray(np.asarray(plan.starts_w)[:, None] + np.arange(t)[None])
-    rows = x[0][h_idx]                # (nh, T, pad_w, C)
-    tiles = rows[:, :, w_idx]         # (nh, T, nw, T, C)
+    """(1, pad_h, pad_w, C) -> (N, Th, Tw, C) via two static gathers."""
+    th, tw = plan.tile_h, plan.tile_w
+    h_idx = jnp.asarray(np.asarray(plan.starts_h)[:, None] + np.arange(th)[None])
+    w_idx = jnp.asarray(np.asarray(plan.starts_w)[:, None] + np.arange(tw)[None])
+    rows = x[0][h_idx]                # (nh, Th, pad_w, C)
+    tiles = rows[:, :, w_idx]         # (nh, Th, nw, Tw, C)
     tiles = tiles.transpose(0, 2, 1, 3, 4)
-    return tiles.reshape(plan.n_tiles, t, t, x.shape[-1])
+    return tiles.reshape(plan.n_tiles, th, tw, x.shape[-1])
 
 
 def recompose_tiles(tiles_sr: Array, plan: TilePlan) -> Array:
@@ -58,7 +59,7 @@ def recompose_tiles(tiles_sr: Array, plan: TilePlan) -> Array:
     (utils/utils.py:422-443) as two scatter-adds with static index maps.
     """
     nh, nw = len(plan.starts_h), len(plan.starts_w)
-    ts = plan.tile * plan.scale
+    tsh, tsw = plan.tile_h * plan.scale, plan.tile_w * plan.scale
     c = tiles_sr.shape[-1]
     hp, wp = plan.pad_h * plan.scale, plan.pad_w * plan.scale
 
@@ -66,16 +67,16 @@ def recompose_tiles(tiles_sr: Array, plan: TilePlan) -> Array:
     wt = tiles_sr.astype(jnp.float32) * blend
 
     col_idx = jnp.asarray(
-        np.concatenate([s * plan.scale + np.arange(ts) for s in plan.starts_w])
+        np.concatenate([s * plan.scale + np.arange(tsw) for s in plan.starts_w])
     )
     row_idx = jnp.asarray(
-        np.concatenate([s * plan.scale + np.arange(ts) for s in plan.starts_h])
+        np.concatenate([s * plan.scale + np.arange(tsh) for s in plan.starts_h])
     )
 
-    t5 = wt.reshape(nh, nw, ts, ts, c).transpose(0, 2, 1, 3, 4).reshape(nh, ts, nw * ts, c)
-    strips = jnp.zeros((nh, ts, wp, c), jnp.float32).at[:, :, col_idx, :].add(t5)
+    t5 = wt.reshape(nh, nw, tsh, tsw, c).transpose(0, 2, 1, 3, 4).reshape(nh, tsh, nw * tsw, c)
+    strips = jnp.zeros((nh, tsh, wp, c), jnp.float32).at[:, :, col_idx, :].add(t5)
     canvas = jnp.zeros((hp, wp, c), jnp.float32).at[row_idx].add(
-        strips.reshape(nh * ts, wp, c)
+        strips.reshape(nh * tsh, wp, c)
     )
     canvas = canvas * jnp.asarray(plan.inv_weight)
     return canvas[None, : plan.out_h, : plan.out_w, :]
@@ -114,7 +115,7 @@ def tiled_apply(
     n_padded = _round_up(n, chunk)
     if n_padded != n:
         tiles = jnp.pad(tiles, [(0, n_padded - n), (0, 0), (0, 0), (0, 0)])
-    groups = tiles.reshape(n_padded // chunk, chunk, plan.tile, plan.tile, -1)
+    groups = tiles.reshape(n_padded // chunk, chunk, plan.tile_h, plan.tile_w, -1)
 
     if mesh is not None:
         spec = NamedSharding(mesh, P(None, data_axis, None, None, None))
@@ -127,8 +128,8 @@ def tiled_apply(
         return out
 
     out_tiles = jax.lax.map(fwd, groups)
-    ts = plan.tile * plan.scale
-    out_tiles = out_tiles.reshape(n_padded, ts, ts, -1)[:n]
+    tsh, tsw = plan.tile_h * plan.scale, plan.tile_w * plan.scale
+    out_tiles = out_tiles.reshape(n_padded, tsh, tsw, -1)[:n]
     return recompose_tiles(out_tiles, plan)
 
 
@@ -156,6 +157,7 @@ class TiledRunner:
         output_index: Optional[int] = None,
         mesh: Optional[Mesh] = None,
         compute_dtype=None,
+        max_group_px: int = 1_400_000,
     ):
         self.apply_fn = apply_fn
         self.scale = scale
@@ -166,6 +168,7 @@ class TiledRunner:
         self.step = step
         self.tile_batch = tile_batch
         self.bucket = bucket
+        self.max_group_px = max_group_px
         self.output_index = output_index
         self.mesh = mesh
         self.compute_dtype = compute_dtype
@@ -177,6 +180,12 @@ class TiledRunner:
         if plan is None:
             if self.mode == "reference":
                 plan = make_reference_plan(h, w, self.scale, patch=self.patch, step=self.step)
+            elif self.mode == "auto":
+                plan = make_auto_plan(
+                    h, w, self.scale, overlap=self.overlap,
+                    tile_batch=self.tile_batch,
+                    max_group_px=self.max_group_px,
+                )
             else:
                 plan = make_uniform_plan(
                     h, w, self.scale, tile=self.tile, overlap=self.overlap, bucket=self.bucket
@@ -187,7 +196,8 @@ class TiledRunner:
     def __call__(self, params, x: Array) -> Array:
         h, w = x.shape[1], x.shape[2]
         plan = self.plan_for(h, w)
-        key = (plan.pad_h, plan.pad_w, plan.tile, x.dtype, x.shape[-1])
+        key = (plan.pad_h, plan.pad_w, plan.tile_h, plan.tile_w, x.dtype,
+               x.shape[-1])
         fn = self._compiled.get(key)
         if fn is None:
             fn = jax.jit(

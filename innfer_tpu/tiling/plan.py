@@ -60,12 +60,20 @@ class TilePlan:
     in_w: int
     pad_h: int          # padded input height (uniform mode; == in_h for reference)
     pad_w: int
-    tile: int           # input-space tile size
+    tile_h: int         # input-space tile size (rows)
+    tile_w: int         # input-space tile size (cols)
     scale: int
     starts_h: Tuple[int, ...]  # input-space tile starts (within padded image)
     starts_w: Tuple[int, ...]
-    blend: np.ndarray          # (tile*scale, tile*scale) float32 blend patch
+    blend: np.ndarray          # (tile_h*scale, tile_w*scale) float32 blend patch
     inv_weight: np.ndarray     # (pad_h*scale, pad_w*scale, 1) reciprocal canvas
+
+    @property
+    def tile(self) -> int:
+        """Square tile size (raises for rectangular auto plans)."""
+        if self.tile_h != self.tile_w:
+            raise ValueError("plan has rectangular tiles; use tile_h/tile_w")
+        return self.tile_h
 
     @property
     def n_tiles(self) -> int:
@@ -82,10 +90,10 @@ class TilePlan:
 
 def _weight_canvas(plan_h: int, plan_w: int, starts_h, starts_w, blend: np.ndarray) -> np.ndarray:
     canvas = np.zeros((plan_h, plan_w), dtype=np.float64)
-    t = blend.shape[0]
+    th, tw = blend.shape
     for sh in starts_h:
         for sw in starts_w:
-            canvas[sh: sh + t, sw: sw + t] += blend
+            canvas[sh: sh + th, sw: sw + tw] += blend
     return canvas
 
 
@@ -129,8 +137,88 @@ def make_uniform_plan(
     inv = (1.0 / canvas).astype(np.float32)[..., None]
 
     return TilePlan(
-        in_h=h, in_w=w, pad_h=ph, pad_w=pw, tile=tile, scale=scale,
-        starts_h=starts_h, starts_w=starts_w,
+        in_h=h, in_w=w, pad_h=ph, pad_w=pw, tile_h=tile, tile_w=tile,
+        scale=scale, starts_h=starts_h, starts_w=starts_w,
+        blend=blend.astype(np.float32), inv_weight=inv,
+    )
+
+
+def make_auto_plan(
+    h: int, w: int, scale: int, *, overlap: int = 16, tile_batch: int = 8,
+    max_group_px: int = 1_400_000, min_tile: int = 64, align: int = 8,
+) -> TilePlan:
+    """Grid-fit planner: choose a (possibly rectangular) tile size per image
+    so the grid covers H x W with minimal total processed pixels.
+
+    Measured on the v5e (BASELINE.md): per-dispatch conv cost is flat in
+    the tile batch beyond ~8 tiles, the batch dim pads to multiples of 8,
+    throughput collapses past ~1.4M pixels per dispatch group, and small
+    batches pipeline poorly (per-pixel cost at batch<=4 is ~2x the batch-8
+    cost; measured via the chain config at batch 1).  The cost of a config
+    is therefore
+
+        slots * tile_h * tile_w * batch_penalty(chunk),
+        slots = ceil(n_tiles / chunk) * chunk
+
+    (dead slots, reflect padding and overlap all count as processed
+    pixels), subject to chunk * tile_px <= max_group_px.  Ties prefer
+    fewer dispatch groups.
+    """
+
+    def batch_penalty(chunk: int) -> float:
+        if chunk >= 8:
+            return 1.0
+        return 2.0 if chunk <= 4 else 1.3
+
+    def axis_options(dim: int):
+        opts = []
+        max_n = max(1, -(-dim // min_tile))
+        for n in range(1, max_n + 1):
+            t = -(-(dim + (n - 1) * overlap) // n)
+            t = -(-t // align) * align
+            if t <= overlap:
+                continue
+            if n > 1 and (n - 1) * (t - overlap) + overlap >= dim + (t - overlap):
+                continue  # n-1 tiles already cover: redundant grid
+            covered = n * (t - overlap) + overlap if n > 1 else t
+            opts.append((n, t, max(covered, t)))
+        return opts
+
+    best = None
+    for nh, th, _ in axis_options(h):
+        for nw, tw, _ in axis_options(w):
+            n_tiles = nh * nw
+            chunk = min(tile_batch, n_tiles)
+            if chunk * th * tw > max_group_px:
+                continue
+            groups = -(-n_tiles // chunk)
+            slots = groups * chunk
+            cost = (slots * th * tw * batch_penalty(chunk), groups, th * tw)
+            if best is None or cost < best[0]:
+                best = (cost, nh, th, nw, tw)
+    if best is None:
+        # degenerate (huge overlap / tiny cap): fall back to uniform
+        return make_uniform_plan(h, w, scale, tile=min_tile * 2,
+                                 overlap=overlap)
+    _, nh, th, nw, tw = best
+
+    stride_h, stride_w = th - overlap, tw - overlap
+    ph = (nh - 1) * stride_h + th
+    pw = (nw - 1) * stride_w + tw
+    starts_h = tuple(i * stride_h for i in range(nh))
+    starts_w = tuple(i * stride_w for i in range(nw))
+
+    prof_h = _reference_blend(th * scale, overlap * scale if nh > 1 else 0)
+    prof_w = _reference_blend(tw * scale, overlap * scale if nw > 1 else 0)
+    blend = np.outer(prof_h, prof_w)
+    canvas = _weight_canvas(
+        ph * scale, pw * scale,
+        [s * scale for s in starts_h], [s * scale for s in starts_w], blend)
+    inv = (1.0 / canvas).astype(np.float32)[..., None]
+
+    return TilePlan(
+        in_h=h, in_w=w, pad_h=ph, pad_w=pw, tile_h=th, tile_w=tw,
+        scale=scale, starts_h=starts_h, starts_w=starts_w,
         blend=blend.astype(np.float32), inv_weight=inv,
     )
 
@@ -183,7 +271,7 @@ def make_reference_plan(h: int, w: int, scale: int, *, patch: int = 200,
     inv = (1.0 / canvas).astype(np.float32)[..., None]
 
     return TilePlan(
-        in_h=h, in_w=w, pad_h=h, pad_w=w, tile=p, scale=scale,
+        in_h=h, in_w=w, pad_h=h, pad_w=w, tile_h=p, tile_w=p, scale=scale,
         starts_h=tuple(starts_h), starts_w=tuple(starts_w),
         blend=blend.astype(np.float32), inv_weight=inv,
     )
