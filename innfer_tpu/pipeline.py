@@ -17,7 +17,7 @@ accumulation is preserved inside every conv (innfer_tpu.nn.functional).
 from __future__ import annotations
 
 import os.path as osp
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
@@ -188,6 +188,20 @@ def tensor2np(x: jax.Array, *, denormalize: bool = False) -> np.ndarray:
 # Per-stage execution
 # ---------------------------------------------------------------------------
 
+# conservative per-stage activation budget for whole-image forwards; the
+# v5e has 16 GB HBM, leave headroom for params/output/XLA workspace
+_WHOLE_IMAGE_HBM_BUDGET = 8 * 1024 ** 3
+
+
+def _whole_forward_bytes(model: ModelDef, x: jax.Array) -> int:
+    """Rough peak-activation estimate for an untiled forward: a few live
+    output-resolution feature maps in fp32 (the upsample tail dominates,
+    e.g. SRResNet pixelshuffle at 4320p; bench.py srresnet notes)."""
+    px = x.shape[0] * x.shape[1] * x.shape[2]
+    nf = int(model.cfg.get("nf", model.cfg.get("ngf", 64)))
+    return px * model.scale ** 2 * nf * 4 * 3
+
+
 @dataclass
 class Stage:
     """One model in the chain plus its compiled runner."""
@@ -197,11 +211,28 @@ class Stage:
     chop: bool
     runner: Optional[TiledRunner] = None
     _whole_jit: Any = None
-    _whole_cache: dict = field(default_factory=dict)
+    _fallback: Optional[TiledRunner] = None
 
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.chop and self.runner is not None:
             return self.runner(self.params, x)
+        if (jax.default_backend() != "cpu"
+                and _whole_forward_bytes(self.model, x) > _WHOLE_IMAGE_HBM_BUDGET):
+            # whole-image activations would overflow HBM: fall back to the
+            # auto-tiled engine instead of crashing the device
+            if self._fallback is None:
+                import logging
+
+                logging.getLogger("innfer_tpu").warning(
+                    "whole-image forward of %dx%d would need ~%.1f GB HBM; "
+                    "falling back to tiled execution",
+                    x.shape[1], x.shape[2],
+                    _whole_forward_bytes(self.model, x) / 1024 ** 3)
+                self._fallback = TiledRunner(
+                    self.model.apply, self.model.scale, mode="auto",
+                    output_index=self.model.output_index,
+                    compute_dtype=x.dtype)
+            return self._fallback(self.params, x)
         if self._whole_jit is None:
             def fwd(params, data):
                 out = self.model.apply(params, data)

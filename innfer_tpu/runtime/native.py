@@ -59,6 +59,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.decode_png.restype = ctypes.c_int
         lib.decode_jpeg.argtypes = lib.decode_png.argtypes
         lib.decode_jpeg.restype = ctypes.c_int
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.decode_png16.argtypes = [ctypes.c_char_p, ctypes.POINTER(u16p)] + [ctypes.POINTER(ctypes.c_int)] * 3
+        lib.decode_png16.restype = ctypes.c_int
         lib.encode_png.argtypes = [ctypes.c_char_p, u8p] + [ctypes.c_int] * 4
         lib.encode_png.restype = ctypes.c_int
         lib.free_image.argtypes = [u8p]
@@ -81,7 +84,7 @@ def _take_buffer(lib, data_p, h: int, w: int, c: int) -> np.ndarray:
 
 
 def decode(path: str) -> Optional[np.ndarray]:
-    """Native decode -> HWC BGR uint8 (or HW for gray); None -> use fallback."""
+    """Native decode -> HWC BGR uint8/uint16 (HW for gray); None -> fallback."""
     lib = get_lib()
     if lib is None:
         return None
@@ -93,6 +96,19 @@ def decode(path: str) -> Optional[np.ndarray]:
     if low.endswith(".png"):
         rc = lib.decode_png(path.encode(), ctypes.byref(data_p),
                             ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
+        if rc == -3:  # IMG_ERR_UNSUPPORTED: 16-bit PNG
+            data16 = ctypes.POINTER(ctypes.c_uint16)()
+            rc = lib.decode_png16(path.encode(), ctypes.byref(data16),
+                                  ctypes.byref(h), ctypes.byref(w),
+                                  ctypes.byref(c))
+            if rc != 0:
+                return None
+            n = h.value * w.value * c.value
+            arr = np.ctypeslib.as_array(data16, shape=(n,)).reshape(
+                h.value, w.value, c.value).copy()
+            lib.free_image(ctypes.cast(data16,
+                                       ctypes.POINTER(ctypes.c_uint8)))
+            return arr[:, :, 0] if c.value == 1 else arr
     elif low.endswith((".jpg", ".jpeg")):
         rc = lib.decode_jpeg(path.encode(), ctypes.byref(data_p),
                              ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))

@@ -52,7 +52,7 @@ int decode_png(const char* path, uint8_t** out, int* h, int* w, int* c) {
 
   int bit_depth = png_get_bit_depth(png, info);
   int color_type = png_get_color_type(png, info);
-  if (bit_depth == 16) {  // keep 16-bit fidelity via the cv2 fallback
+  if (bit_depth == 16) {  // 16-bit path is decode_png16
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
     return IMG_ERR_UNSUPPORTED;
@@ -81,6 +81,67 @@ int decode_png(const char* path, uint8_t** out, int* h, int* w, int* c) {
   }
   png_bytep* rows = (png_bytep*)malloc(sizeof(png_bytep) * height);
   for (int y = 0; y < height; ++y) rows[y] = buf + (size_t)y * stride;
+  png_read_image(png, rows);
+  free(rows);
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(fp);
+
+  *out = buf;
+  *h = height;
+  *w = width;
+  *c = channels;
+  return IMG_OK;
+}
+
+// ---------------------------------------------------------------------------
+// PNG 16-bit decode (cv2 IMREAD_UNCHANGED parity: HWC BGR(A) uint16,
+// native little-endian byte order)
+// ---------------------------------------------------------------------------
+
+int decode_png16(const char* path, uint16_t** out, int* h, int* w, int* c) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return IMG_ERR_OPEN;
+
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) { fclose(fp); return IMG_ERR_DECODE; }
+  png_infop info = png_create_info_struct(png);
+  if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); fclose(fp); return IMG_ERR_DECODE; }
+
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return IMG_ERR_DECODE;
+  }
+
+  png_init_io(png, fp);
+  png_read_info(png, info);
+
+  if (png_get_bit_depth(png, info) != 16) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return IMG_ERR_UNSUPPORTED;  // 8-bit path is decode_png
+  }
+  int color_type = png_get_color_type(png, info);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type == PNG_COLOR_TYPE_RGB || color_type == PNG_COLOR_TYPE_RGB_ALPHA)
+    png_set_bgr(png);
+  png_set_swap(png);  // libpng yields big-endian 16-bit; we want native LE
+  png_read_update_info(png, info);
+
+  int height = (int)png_get_image_height(png, info);
+  int width = (int)png_get_image_width(png, info);
+  int channels = (int)png_get_channels(png, info);
+  size_t stride = (size_t)width * channels * 2;
+
+  uint16_t* buf = (uint16_t*)malloc((size_t)height * stride);
+  if (!buf) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return IMG_ERR_DECODE;
+  }
+  png_bytep* rows = (png_bytep*)malloc(sizeof(png_bytep) * height);
+  for (int y = 0; y < height; ++y)
+    rows[y] = (png_bytep)((uint8_t*)buf + (size_t)y * stride);
   png_read_image(png, rows);
   free(rows);
   png_destroy_read_struct(&png, &info, nullptr);

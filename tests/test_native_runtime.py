@@ -39,11 +39,17 @@ def test_png_rgba_and_gray(lib, tmp_path, rng):
         np.testing.assert_array_equal(native.decode(p), img)
 
 
-def test_16bit_png_falls_back(lib, tmp_path, rng):
-    img16 = rng.integers(0, 65536, (8, 8, 3), dtype=np.uint16)
-    p = str(tmp_path / "deep.png")
-    cv2.imwrite(p, img16)
-    assert native.decode(p) is None  # unsupported -> caller uses cv2
+def test_16bit_png_native_decode(lib, tmp_path, rng):
+    """16-bit PNGs decode natively with cv2 IMREAD_UNCHANGED parity
+    (uint16 BGR, native endianness) — round-1 stretch item."""
+    for shape in ((8, 8, 3), (7, 9)):
+        img16 = rng.integers(0, 65536, shape, dtype=np.uint16)
+        p = str(tmp_path / f"deep{len(shape)}.png")
+        cv2.imwrite(p, img16)
+        dec = native.decode(p)
+        assert dec is not None and dec.dtype == np.uint16
+        np.testing.assert_array_equal(
+            dec, cv2.imread(p, cv2.IMREAD_UNCHANGED))
 
 
 def test_jpeg_decode_close_to_cv2(lib, tmp_path, rng):

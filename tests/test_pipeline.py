@@ -232,6 +232,36 @@ class TestCLI:
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
 
+class TestWholeImageHBMFallback:
+    def test_oversized_whole_image_falls_back_to_tiled(self, monkeypatch):
+        """A whole-image forward whose activation estimate exceeds the HBM
+        budget must route through the auto-tiled engine instead of
+        dispatching (VERDICT r1 stretch: srresnet 1080p whole-image OOM)."""
+        import jax as _jax
+        import numpy as np
+        from innfer_tpu import pipeline as P
+
+        sess = InferenceSession(
+            osp.join(GOLDENS, "srresnet_x2.pth"), arch="infer",
+            compute_dtype=jnp.float32)
+        sess.presets.chop = False
+        stage = sess.stages[0]
+        stage.chop = False
+
+        x = jnp.asarray(np.random.default_rng(0).random((1, 24, 32, 3),
+                                                        np.float32))
+        ref = np.asarray(stage(x))
+
+        monkeypatch.setattr(P, "_WHOLE_IMAGE_HBM_BUDGET", 1)
+        monkeypatch.setattr(_jax, "default_backend", lambda: "axon")
+        stage2 = P.Stage(stage.model, stage.params, chop=False)
+        out = np.asarray(stage2(x))
+        assert stage2._fallback is not None  # tiled path was taken
+        assert out.shape == ref.shape
+        mse = float(np.mean((out - ref) ** 2))
+        assert mse < 1e-4  # single-tile auto plan == whole forward
+
+
 class TestFusedChain:
     def test_fused_chain_matches_sequential(self, tmp_path):
         """Tile-through-chain ~= per-stage tiled execution."""
