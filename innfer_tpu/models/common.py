@@ -12,6 +12,7 @@ import math
 from typing import List, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from innfer_tpu.nn import functional as F
 from innfer_tpu.nn import resize as R
@@ -48,6 +49,43 @@ def upsample_indices(upscale: int, mode: str, start: int = 2) -> Tuple[List[int]
     return conv_idxs, i
 
 
+def collapse_upconv_weight(w: jax.Array, b, factor: int):
+    """Rewrite a nearest-up(x r) + 3x3/pad-1 conv as an LR conv + shuffle.
+
+    The reference upconv block (block.py:348-361) nearest-upsamples then
+    convolves at HR.  Because the upsampled image is piecewise constant,
+    each HR output phase (a, b) in [0, r)^2 only ever reads LR pixels at
+    offsets in {-1, 0, +1}: tap dp of the 3x3 kernel lands on LR offset
+    floor((a+dp)/r), so per phase the HR taps COLLAPSE (summed) onto a 3x3
+    LR kernel.  The whole block is then exactly
+
+        PixelShuffle(conv2d(x, w', b', padding=1), r)
+
+    with w' of shape (3, 3, cin, cout*r^2) (phase kernels interleaved in
+    PixelShuffle channel order c*r^2 + a*r + b) and b' = repeat(b, r^2).
+    HR zero padding maps to LR zero padding bit-for-bit (the only taps that
+    reach LR offset -1/+1 are the ones that cross the HR border).  Keeps
+    activations at LR (4x less conv traffic at r=2) and widens Cout for the
+    MXU; numerics differ from the HR form only by pre-summing kernel taps
+    (~1e-7 rel in fp32)."""
+    r = factor
+    kh, kw, cin, cout = w.shape
+    assert kh == 3 and kw == 3, (kh, kw)
+    off = lambda a, d: -1 if a + d < 0 else (1 if a + d >= r else 0)
+    phases = []
+    for a in range(r):
+        for bb in range(r):
+            k = jnp.zeros((3, 3, cin, cout), w.dtype)
+            for dp in (-1, 0, 1):
+                for dq in (-1, 0, 1):
+                    k = k.at[off(a, dp) + 1, off(bb, dq) + 1].add(
+                        w[dp + 1, dq + 1])
+            phases.append(k)
+    w2 = jnp.stack(phases, axis=-1).reshape(3, 3, cin, cout * r * r)
+    b2 = None if b is None else jnp.repeat(b, r * r)
+    return w2, b2
+
+
 def apply_upsample_block(
     params: Params, x: jax.Array, key: str, *, mode: str, factor: int,
     act_type: str, act_key: str = "",
@@ -58,8 +96,17 @@ def apply_upsample_block(
     ``act_key`` is the positional prefix of the act submodule, needed when
     the activation carries parameters (prelu weight / swish beta)."""
     if mode == "upconv":
-        x = R.upsample_nearest(x, factor)
-        x = F.conv2d(x, params[f"{key}.weight"], params.get(f"{key}.bias"), padding=1)
+        w = params[f"{key}.weight"]
+        if w.shape[0] == 3 and w.shape[1] == 3 and factor > 1:
+            # LR-collapsed form (see collapse_upconv_weight): exact, cheaper
+            w2, b2 = collapse_upconv_weight(
+                w, params.get(f"{key}.bias"), factor)
+            x = F.conv2d(x, w2, b2, padding=1)
+            x = F.pixel_shuffle(x, factor)
+        else:
+            x = R.upsample_nearest(x, factor)
+            x = F.conv2d(x, params[f"{key}.weight"],
+                         params.get(f"{key}.bias"), padding=1)
         return F.act(act_type, x, params=params, key=act_key)
     if mode == "pixelshuffle":
         x = F.conv2d(x, params[f"{key}.weight"], params.get(f"{key}.bias"), padding=1)

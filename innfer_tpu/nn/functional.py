@@ -51,6 +51,7 @@ def conv2d(
     dilation: Union[int, Tuple[int, int]] = 1,
     groups: int = 1,
     accum_dtype=jnp.float32,
+    out_dtype=None,
 ) -> Array:
     """2D convolution, NHWC x HWIO -> NHWC.  Matches torch.nn.Conv2d.
 
@@ -58,7 +59,8 @@ def conv2d(
     [(top, bottom), (left, right)] list for asymmetric (TF-"SAME"-style) pads.
     Weights are cast to the activation dtype (bf16 activations can run over
     fp32-stored params); accumulation happens in ``accum_dtype`` (fp32 by
-    default) and the result is cast back to the input dtype.
+    default) and the result is cast back to the input dtype (or ``out_dtype``
+    when given — e.g. fp32 so a caller can keep accumulating across convs).
     """
     if isinstance(stride, int):
         stride = (stride, stride)
@@ -80,7 +82,7 @@ def conv2d(
     )
     if b is not None:
         out = out + b.astype(accum_dtype)
-    return out.astype(x.dtype)
+    return out.astype(out_dtype or x.dtype)
 
 
 def conv_transpose2d(
