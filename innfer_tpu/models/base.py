@@ -5,6 +5,7 @@ a pure ``apply(params, x)`` function over a flat parameter dict plus the
 metadata the converter needs to map torch tensors into TPU-native layouts:
 
   * plain Conv2d weights  (O, I, kh, kw)  ->  HWIO (kh, kw, I, O)
+  * Conv3d weights (O, I, kd, kh, kw) -> DHWIO (evsrgan)
   * ConvTranspose2d weights (I, O, kh, kw) -> spatially flipped HWIO
     (kh, kw, I, O) so the transposed conv runs as an input-dilated conv
     (see innfer_tpu.nn.functional.conv_transpose2d)
@@ -76,6 +77,9 @@ def convert_state(
                 arr = np.transpose(arr[:, :, ::-1, ::-1], (2, 3, 0, 1))
             else:
                 arr = np.transpose(arr, (2, 3, 1, 0))
+        elif arr.ndim == 5:
+            # Conv3d (O, I, kd, kh, kw) -> DHWIO (evsrgan video RRDB)
+            arr = np.transpose(arr, (2, 3, 4, 1, 0))
         elif arr.ndim == 3 and arr.shape[-1] == 1 and _matches(model.dense_keys, key):
             arr = np.ascontiguousarray(arr[:, :, 0].T)
         if not strict and _matches(model.ignore_key_patterns, key):

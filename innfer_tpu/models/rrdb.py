@@ -32,20 +32,22 @@ import jax.numpy as jnp
 
 
 def _rdb5c(params, x, prefix: str, *, act_type: str, plus: bool,
-           norm_type=None):
+           norm_type=None, conv_fn=None):
     """Residual Dense Block (5 convs, dense concat growth, 0.2 residual).
 
     The RDB conv blocks always run in CNA order (RRDBNet passes mode='CNA'
     to its RRDBs, RRDBNet_arch.py:27), so conv5 carries no act; norm_type
     and parameterized activations (prelu/swish) are config-reachable.
+    ``conv_fn(t, w, b)`` overrides the conv op (Conv3D for evsrgan).
     """
     cat = lambda *ts: jnp.concatenate(ts, axis=-1)
     simple = norm_type in (None, "none") and act_type in (
         "relu", "leakyrelu", "lrelu", "tanh", "sigmoid")
-    if simple:
-        conv = lambda i, t: F.conv2d(
+    if simple or conv_fn is not None:
+        cf = conv_fn or (lambda t, w, b: F.conv2d(t, w, b, padding=1))
+        conv = lambda i, t: cf(
             t, params[f"{prefix}.conv{i}.0.weight"],
-            params.get(f"{prefix}.conv{i}.0.bias"), padding=1)
+            params.get(f"{prefix}.conv{i}.0.bias"))
         a = lambda t: F.act(act_type, t)
         cb = lambda i, t, act: a(conv(i, t)) if act else conv(i, t)
     else:
@@ -158,9 +160,9 @@ def _pallas_ok(x, act_type: str) -> bool:
 
 
 def _rrdb(params, x, prefix: str, *, nr: int, act_type: str, plus: bool,
-          backend: str = "auto", norm_type=None):
+          backend: str = "auto", norm_type=None, conv_fn=None):
     simple = norm_type in (None, "none") and act_type in (
-        "relu", "leakyrelu", "lrelu", "tanh", "sigmoid")
+        "relu", "leakyrelu", "lrelu", "tanh", "sigmoid") and conv_fn is None
     if backend == "pallas":
         if not _pallas_ok(x, act_type) or norm_type not in (None, "none"):
             raise ValueError(
@@ -190,7 +192,7 @@ def _rrdb(params, x, prefix: str, *, nr: int, act_type: str, plus: bool,
                                  act_type=act_type, plus=plus)
         else:
             out = _rdb5c(params, out, f"{prefix}.{name}", act_type=act_type,
-                         plus=plus, norm_type=norm_type)
+                         plus=plus, norm_type=norm_type, conv_fn=conv_fn)
     return out * jnp.asarray(0.2, x.dtype) + x
 
 
@@ -211,11 +213,18 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     if norm_type not in (None, "batch", "instance"):
         raise NotImplementedError(
             f"normalization layer [{norm_type}] is not found")
-    if cfg.get("convtype", "Conv2D") != "Conv2D":
-        raise NotImplementedError(f"convtype {cfg.get('convtype')} not supported")
+    convtype = cfg.get("convtype", "Conv2D")
+    if convtype not in ("Conv2D", "Conv3D"):
+        raise NotImplementedError(f"convtype {convtype} not supported")
 
     _n_up, factor = C.n_upscale_blocks(upscale)
     up_convs, hr0 = C.upsample_indices(upscale, up_mode)
+
+    if convtype == "Conv3D":
+        return _build_3d(cfg, nb=nb, nr=nr, act_type=act_type, plus=plus,
+                         up_mode=up_mode, norm_type=norm_type,
+                         upscale=upscale, factor=factor, up_convs=up_convs,
+                         hr0=hr0, finalact=finalact, outm=outm)
     backend = cfg.get("backend", "auto")  # auto | pallas | xla
     # the act submodule's flat index inside each upsample block:
     # upconv [Up, conv@ci, act@ci+1]; pixelshuffle [conv@ci, PS, act@ci+2]
@@ -252,6 +261,56 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         apply=apply,
         scale=upscale,
     )
+
+
+def _build_3d(cfg, *, nb, nr, act_type, plus, up_mode, norm_type, upscale,
+              factor, up_convs, hr0, finalact, outm) -> ModelDef:
+    """evsrgan: RRDBNet with Conv3d everywhere (video clips, NDHWC).
+
+    Parity target: reference ``-a evsrgan`` builds RRDBNet with
+    convtype='Conv3D' (defaults.py:35-38): every conv_block instantiates
+    nn.Conv3d k3/pad1 (block.py:232-234) and upconv blocks nearest-upsample
+    with scale (1, 2, 2) — depth untouched (block.py:357).  The reference
+    CLI cannot actually feed it (its image loop is 4D-only); here the model
+    is exposed at the library level (5D NDHWC input) and golden-tested
+    module to module.
+    """
+    if plus:
+        raise NotImplementedError(
+            "evsrgan plus: the reference conv1x1 is nn.Conv2d "
+            "(block.py:390-391) and crashes on 5D inputs")
+    if norm_type not in (None, "none"):
+        raise NotImplementedError(
+            "evsrgan norm layers: reference norm() builds 2D norms "
+            "(block.py:112-132) which crash on 5D inputs")
+    if up_mode != "upconv":
+        raise NotImplementedError("evsrgan supports upconv upsampling only")
+
+    from innfer_tpu.nn import resize as R
+
+    conv3 = lambda t, w, b=None: F.conv3d(t, w, b, padding=1)
+
+    def apply(params, x: jax.Array) -> jax.Array:
+        g = lambda k: (params[f"{k}.weight"], params.get(f"{k}.bias"))
+        fea = conv3(x, *g("model.0"))
+        t = fea
+        for i in range(nb):
+            t = _rrdb(params, t, f"model.1.sub.{i}", nr=nr, act_type=act_type,
+                      plus=False, backend="xla", conv_fn=conv3)
+        t = conv3(t, *g(f"model.1.sub.{nb}"))
+        h = fea + t
+        for ci in up_convs:
+            b_, d, hh, ww, c = h.shape
+            u = R.upsample_nearest(h.reshape(b_ * d, hh, ww, c), factor)
+            h = u.reshape(b_, d, hh * factor, ww * factor, c)
+            h = F.act(act_type, conv3(h, *g(f"model.{ci}")))
+        h = F.act(act_type, conv3(h, *g(f"model.{hr0}")))
+        h = conv3(h, *g(f"model.{hr0 + 2}"))
+        if finalact:
+            h = F.act(finalact, h)
+        return _outm(h, outm)
+
+    return ModelDef(name="rrdb_net", cfg=dict(cfg), apply=apply, scale=upscale)
 
 
 def build_mrrdb(cfg: Dict[str, Any]) -> ModelDef:

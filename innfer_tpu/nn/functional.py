@@ -85,6 +85,40 @@ def conv2d(
     return out.astype(out_dtype or x.dtype)
 
 
+def conv3d(
+    x: Array,
+    w: Array,
+    b: Optional[Array] = None,
+    *,
+    stride: Union[int, Tuple[int, int, int]] = 1,
+    padding: Union[int, Tuple[int, int, int]] = 0,
+    dilation: Union[int, Tuple[int, int, int]] = 1,
+    accum_dtype=jnp.float32,
+) -> Array:
+    """3D convolution, NDHWC x DHWIO -> NDHWC.  Matches torch.nn.Conv3d
+    (the reference's evsrgan convtype='Conv3D', block.py:232-234)."""
+    if isinstance(stride, int):
+        stride = (stride,) * 3
+    if isinstance(dilation, int):
+        dilation = (dilation,) * 3
+    if isinstance(padding, int):
+        padding = [(padding, padding)] * 3
+    elif isinstance(padding, tuple) and isinstance(padding[0], int):
+        padding = [(p, p) for p in padding]
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=accum_dtype,
+    )
+    if b is not None:
+        out = out + b.astype(accum_dtype)
+    return out.astype(x.dtype)
+
+
 def conv_transpose2d(
     x: Array,
     w: Array,

@@ -285,6 +285,12 @@ class InferenceSession:
                 path, arch=self.presets.arch, scale=sc,
                 strict=self.presets.strict, param_dtype=compute_dtype,
             )
+            if model.cfg.get("convtype") == "Conv3D":
+                raise ValueError(
+                    "evsrgan (Conv3D) is a video network with 5D NDHWC "
+                    "inputs; the image pipeline cannot feed it (the "
+                    "reference CLI cannot either) — use the library API "
+                    "(innfer_tpu.loader + model.apply) instead")
             if mesh is not None:
                 from innfer_tpu.parallel.mesh import (replicate_params,
                                                       tp_shard_params)

@@ -74,6 +74,24 @@ class TestRRDB:
         # fp16 weights: parity bar is fp16 resolution, still far above 60 dB
         run_case("esrgan_x4_fp16", min_psnr=60.0)
 
+    def test_evsrgan_conv3d(self):
+        # evsrgan: Conv3D RRDB over video clips (reference defaults.py:35-38;
+        # library-level only — the reference CLI itself cannot feed 5D).
+        fx = np.load(os.path.join(GOLDENS, "evsrgan_x2.npz"))
+        ref = fx["output"]  # NCDHW
+        meta = json.loads(str(fx["meta"]))
+        from innfer_tpu.checkpoint.torch_pickle import load_checkpoint
+        from innfer_tpu.loader import load_model_from_state
+
+        state = load_checkpoint(os.path.join(GOLDENS, "evsrgan_x2.pth"))
+        model, params = load_model_from_state(state, dict(meta["cfg"]))
+        x = jax.numpy.asarray(np.transpose(fx["input"], (0, 2, 3, 4, 1)))
+        out = jax.jit(model.apply)(params, x)
+        out_ncdhw = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
+        assert out_ncdhw.shape == ref.shape, (out_ncdhw.shape, ref.shape)
+        p = psnr(out_ncdhw, ref, peak=max(1.0, np.abs(ref).max()))
+        assert p >= 80.0, f"evsrgan: PSNR {p:.2f} dB"
+
     def test_swa_checkpoint(self):
         run_case("esrgan_x4_swa")
 

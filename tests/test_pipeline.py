@@ -112,6 +112,17 @@ class TestEndToEnd:
         im = cv2.imread(str(out / "a.png"))
         assert im.shape == (80, 112, 3)
 
+    def test_evsrgan_rejected_by_pipeline(self):
+        # Conv3D (video) networks cannot be fed by the 2D image pipeline —
+        # must fail loudly, not with a conv shape error (reference parity:
+        # its CLI cannot feed 5D either)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="Conv3D"):
+            InferenceSession(
+                osp.join(GOLDENS, "evsrgan_x2.pth"), arch="evsrgan",
+                compute_dtype=jnp.float32)
+
     def test_chain_two_models(self, tmp_path):
         inp, out = tmp_path / "in", tmp_path / "out"
         inp.mkdir()

@@ -250,13 +250,44 @@ def main_round2():
               seed=52, input_range=(-1.0, 1.0), meval=False, perturb=True)
 
 
+def save_evsrgan_case(name, nb, nf, in_dhw, scale=2, seed=60):
+    """evsrgan (Conv3D RRDB, defaults.py:35-38): 5D NCDHW input.  The
+    reference CLI cannot feed it (4D image loop) but the network builds and
+    runs; this golden pins the module-level forward."""
+    torch.manual_seed(seed)
+    cfg = get_network_G_config({"type": "evsrgan", "nb": nb, "nf": nf}, scale)
+    net = get_network(dict(cfg)).eval()
+    for p in net.parameters():
+        p.requires_grad = False
+    d, h, w = in_dhw
+    x = torch.rand(1, 3, d, h, w)
+    with torch.no_grad():
+        y = net(x)
+    os.makedirs(OUT, exist_ok=True)
+    torch.save(net.state_dict(), os.path.join(OUT, f"{name}.pth"))
+    meta = {"cfg": cfg, "scale": scale, "meval": True, "arch": "evsrgan"}
+    np.savez_compressed(os.path.join(OUT, f"{name}.npz"), input=x.numpy(),
+                        output=y.numpy().astype(np.float32),
+                        meta=json.dumps(meta))
+    print(f"{name}: evsrgan scale={scale} in={tuple(x.shape)} out={tuple(y.shape)}")
+
+
+def main_round2b():
+    save_evsrgan_case("evsrgan_x2", nb=2, nf=8, in_dhw=(3, 12, 12), scale=2)
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--only-round2", action="store_true",
                     help="generate only the round-2 variant fixtures")
-    if ap.parse_args().only_round2:
+    ap.add_argument("--only-round2b", action="store_true",
+                    help="generate only the round-2b fixtures (evsrgan)")
+    args = ap.parse_args()
+    if args.only_round2:
         main_round2()
+    elif args.only_round2b:
+        main_round2b()
     else:
         main()
