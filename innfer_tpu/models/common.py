@@ -68,20 +68,22 @@ def collapse_upconv_weight(w: jax.Array, b, factor: int):
     activations at LR (4x less conv traffic at r=2) and widens Cout for the
     MXU; numerics differ from the HR form only by pre-summing kernel taps
     (~1e-7 rel in fp32)."""
+    import numpy as np
+
     r = factor
     kh, kw, cin, cout = w.shape
     assert kh == 3 and kw == 3, (kh, kw)
-    off = lambda a, d: -1 if a + d < 0 else (1 if a + d >= r else 0)
-    phases = []
+    # S[a, P, t]: HR tap t (dp = t-1) of phase a lands on LR offset P-1
+    sel = np.zeros((r, 3, 3), np.float32)
     for a in range(r):
-        for bb in range(r):
-            k = jnp.zeros((3, 3, cin, cout), w.dtype)
-            for dp in (-1, 0, 1):
-                for dq in (-1, 0, 1):
-                    k = k.at[off(a, dp) + 1, off(bb, dq) + 1].add(
-                        w[dp + 1, dq + 1])
-            phases.append(k)
-    w2 = jnp.stack(phases, axis=-1).reshape(3, 3, cin, cout * r * r)
+        for t, dp in enumerate((-1, 0, 1)):
+            p = -1 if a + dp < 0 else (1 if a + dp >= r else 0)
+            sel[a, p + 1, t] = 1.0
+    s = jnp.asarray(sel, w.dtype)
+    # (p,q,i,o,a,b) -> reshape collapses (o,a,b) into o*r^2 + a*r + b,
+    # exactly PixelShuffle's channel order
+    w2 = jnp.einsum("apd,bqe,deio->pqioab", s, s, w)
+    w2 = w2.reshape(3, 3, cin, cout * r * r)
     b2 = None if b is None else jnp.repeat(b, r * r)
     return w2, b2
 
