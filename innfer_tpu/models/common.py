@@ -67,7 +67,9 @@ def collapse_upconv_weight(w: jax.Array, b, factor: int):
     reach LR offset -1/+1 are the ones that cross the HR border).  Keeps
     activations at LR (4x less conv traffic at r=2) and widens Cout for the
     MXU; numerics differ from the HR form only by pre-summing kernel taps
-    (~1e-7 rel in fp32)."""
+    (~1e-7 rel in fp32).  This is the resize-convolution == constrained
+    sub-pixel-convolution identity (arXiv:1707.02937) run in reverse at
+    load time."""
     import numpy as np
 
     r = factor
