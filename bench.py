@@ -81,7 +81,8 @@ def main():
             model.apply, model.scale, mode=args.tile_mode, tile=args.tile,
             overlap=args.overlap, tile_batch=args.tile_batch,
             output_index=model.output_index, compute_dtype=dtype,
-            max_group_px=args.max_group_px, **kw)
+            max_group_px=args.max_group_px,
+            tile_quantum=model.tile_quantum, **kw)
         x = jnp.asarray(rng.random((1, h, w, 3), np.float32), dtype)
         return lambda: runner(params, x), h * w * model.scale ** 2 / 1e6
 
@@ -115,7 +116,8 @@ def main():
 
         runner = TiledRunner(chained, 4, mode=args.tile_mode, tile=args.tile,
                              overlap=args.overlap, tile_batch=args.tile_batch,
-                             compute_dtype=dtype)
+                             compute_dtype=dtype,
+                             tile_quantum=max(m1.tile_quantum, m2.tile_quantum))
         hh, ww = h // 2, w // 2  # keep chain runtime reasonable
         x = jnp.asarray(rng.random((1, hh, ww, 3), np.float32), dtype)
 

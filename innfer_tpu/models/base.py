@@ -48,6 +48,9 @@ class ModelDef:
     remap: Optional[Callable[[StateDict], StateDict]] = None
     # multi-output models (PPON) select this output index at inference
     output_index: Optional[int] = None
+    # preferred tile-dimension multiple for the tiling planner (e.g. 64 so
+    # the fused Pallas RDB can pick >=64 kernel blocks); 1 = no preference
+    tile_quantum: int = 1
 
 
 def _matches(patterns: Sequence[str], key: str) -> bool:

@@ -142,12 +142,24 @@ def _rdb5c_pallas(params, x, prefix: str, *, plus: bool):
     return fused_rdb(x, weights, biases, gc=gc, plus=plus, conv1x1_w=w1)
 
 
+def _dim_pallas_fast(dim: int) -> bool:
+    """True when ops/pallas/rdb._pick_block finds a >=64 block for this
+    tile dimension — the regime where the fused kernel beats XLA (measured
+    round 2: 38.5-42.6 TF/s at 64-128 blocks vs XLA's 33; 26.9 at 32)."""
+    if dim % 64 == 0:
+        return True
+    return 64 <= dim <= 128 and dim % 16 == 0
+
+
 def _use_pallas(x, act_type: str) -> bool:
-    # NOTE: 'auto' currently resolves to the XLA path: the fused kernel is
-    # numerically verified, but the axon remote compiler crashes on block
-    # sizes large enough to beat XLA (halo overhead dominates at <=32x32
-    # blocks).  Opt in with cfg backend='pallas' (see ops/pallas/rdb.py).
-    return False
+    """'auto' resolves to the fused Pallas RDB when it is a proven win:
+    bf16 activations on the TPU backend with tile dims that admit >=64
+    kernel blocks.  fp32 stays on XLA (the kernel's fp32 VMEM footprint at
+    big blocks is untested on the remote compiler); everything else falls
+    back to XLA.  The tiling planner cooperates via ModelDef.tile_quantum."""
+    if x.dtype != jnp.bfloat16:
+        return False
+    return _pallas_ok(x, act_type)
 
 
 def _pallas_ok(x, act_type: str) -> bool:
@@ -155,8 +167,8 @@ def _pallas_ok(x, act_type: str) -> bool:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    t = x.shape[1]
-    return x.shape[1] == x.shape[2] and t % 16 == 0 and t >= 64
+    return (x.ndim == 4 and _dim_pallas_fast(int(x.shape[1]))
+            and _dim_pallas_fast(int(x.shape[2])))
 
 
 def _rrdb(params, x, prefix: str, *, nr: int, act_type: str, plus: bool,
@@ -164,16 +176,21 @@ def _rrdb(params, x, prefix: str, *, nr: int, act_type: str, plus: bool,
     simple = norm_type in (None, "none") and act_type in (
         "relu", "leakyrelu", "lrelu", "tanh", "sigmoid") and conv_fn is None
     if backend == "pallas":
-        if not _pallas_ok(x, act_type) or norm_type not in (None, "none"):
+        if (not _pallas_ok(x, act_type) or norm_type not in (None, "none")
+                or conv_fn is not None):
             raise ValueError(
                 "backend='pallas' requires leakyrelu activation, no norm "
-                "layers, square tiles with side a 16-multiple >= 64 on TPU; "
+                "layers, Conv2D, and tile dims that admit >=64 kernel "
+                "blocks (multiples of 64, or 64..128 in 16s) on TPU; "
                 f"got act {act_type!r}, norm {norm_type!r}, shape {x.shape} "
                 f"on {jax.default_backend()}"
             )
         fused = True
     else:
-        fused = backend == "auto" and _use_pallas(x, act_type)
+        fused = (backend == "auto" and conv_fn is None
+                 and norm_type in (None, "none")
+                 and _use_pallas(x, act_type)
+                 and f"{prefix}.RDB1.conv1.0.bias" in params)
     if backend == "scatter" and not simple:
         raise ValueError(
             "backend='scatter' requires a parameter-free activation and no "
@@ -255,11 +272,17 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
             h = F.act(finalact, h, params=params, key=f"model.{hr0 + 3}")
         return _outm(h, outm)
 
+    # ask the tiling planner for 64-multiple tile dims whenever the fused
+    # Pallas RDB could fire (see _use_pallas) so it gets >=64 blocks
+    quantum = 64 if (backend in ("auto", "pallas") and nr == 3
+                     and norm_type in (None, "none")
+                     and act_type in ("leakyrelu", "lrelu")) else 1
     return ModelDef(
         name="rrdb_net",
         cfg=dict(cfg),
         apply=apply,
         scale=upscale,
+        tile_quantum=quantum,
     )
 
 

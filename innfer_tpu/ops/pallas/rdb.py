@@ -85,7 +85,7 @@ def _shift_rows(v: jax.Array, k: int) -> jax.Array:
 def _rdb_kernel(
     xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, _out_buf, out_ref,
     x_vm, out_vm, sem, sem_out,
-    *, nf: int, gc: int, bh: int, bw: int, t: int, plus: bool,
+    *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
     neg_slope: float, acc_dtype,
 ):
     by = pl.program_id(1)
@@ -110,7 +110,8 @@ def _rdb_kernel(
     g_row = by * bh + rowid
     g_col = bx * bw + colid
     valid = (
-        (g_row >= HALO) & (g_row < HALO + t) & (g_col >= HALO) & (g_col < HALO + t)
+        (g_row >= HALO) & (g_row < HALO + t_h)
+        & (g_col >= HALO) & (g_col < HALO + t_w)
     )
 
     def source_contrib(src, wt_ref):
@@ -186,6 +187,23 @@ def _rdb_kernel(
     cpo.wait()
 
 
+def _pick_block(tdim: int, pref: int) -> int:
+    """Largest workable kernel block for a tile dimension: the preferred
+    size when it divides the dim, else the dim itself (small tiles), else
+    the largest 16-multiple divisor.  Rectangular tiles pick per-dim."""
+    bdim = min(pref, tdim)
+    if tdim % bdim == 0:
+        return bdim
+    if tdim <= 128:
+        return tdim
+    for d in (128, 64, 32, 16):
+        if tdim % d == 0:
+            return d
+    raise ValueError(
+        f"tile dim {tdim} has no 16-multiple block divisor; pad the tile "
+        "plan to a 16-multiple (tile_quantum)")
+
+
 def fused_rdb(
     x: jax.Array,
     weights: List[jax.Array],
@@ -205,12 +223,7 @@ def fused_rdb(
     Returns (B, T, T, nf) = conv-chain output * 0.2 + x.
     """
     b, th, tw, nf = x.shape
-    assert th == tw, "square tiles expected"
-    t = th
-    bh, bw = block
-    bh, bw = min(bh, t), min(bw, t)
-    if t % bh or t % bw:
-        bh = bw = t if t <= 128 else [d for d in (128, 64, 32, 16) if t % d == 0][0]
+    bh, bw = _pick_block(th, block[0]), _pick_block(tw, block[1])
     hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
     assert wp % 16 == 0, (
         f"canvas width {wp} must be a 16-row tile multiple (pick bw in 16s)"
@@ -231,9 +244,9 @@ def fused_rdb(
         [(0, 0), (HALO, HALO), (HALO, HALO + W_SLACK), (0, LANE - nf)],
     )
 
-    grid = (b, t // bh, t // bw)
+    grid = (b, th // bh, tw // bw)
     kernel = functools.partial(
-        _rdb_kernel, nf=nf, gc=gc, bh=bh, bw=bw, t=t, plus=plus,
+        _rdb_kernel, nf=nf, gc=gc, bh=bh, bw=bw, t_h=th, t_w=tw, plus=plus,
         neg_slope=neg_slope, acc_dtype=acc_dtype,
     )
     return pl.pallas_call(
@@ -257,7 +270,7 @@ def fused_rdb(
         # full result in HBM.  Blocks are DMA'd out manually with 128-lane
         # padding for alignment.
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=jax.ShapeDtypeStruct((b, t, t, LANE), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, th, tw, LANE), x.dtype),
         input_output_aliases={8: 0},
         scratch_shapes=[
             pltpu.VMEM((hp, wp, LANE), x.dtype),
@@ -272,4 +285,4 @@ def fused_rdb(
         ),
         interpret=interpret,
     )(xp, wt[0], wt[1], wt[2], wt[3], wt[4], bias_vec, w1,
-      jnp.zeros((b, t, t, LANE), x.dtype))[..., :nf]
+      jnp.zeros((b, th, tw, LANE), x.dtype))[..., :nf]

@@ -231,6 +231,7 @@ class Stage:
                 self._fallback = TiledRunner(
                     self.model.apply, self.model.scale, mode="auto",
                     output_index=self.model.output_index,
+                    tile_quantum=self.model.tile_quantum,
                     compute_dtype=x.dtype)
             return self._fallback(self.params, x)
         if self._whole_jit is None:
@@ -328,6 +329,7 @@ class InferenceSession:
                     overlap=overlap, tile_batch=tile_batch, bucket=bucket,
                     output_index=model.output_index, mesh=mesh,
                     compute_dtype=compute_dtype,
+                    tile_quantum=model.tile_quantum,
                 )
             self.stages.append(Stage(model, params, chop, runner))
 
@@ -367,6 +369,7 @@ class InferenceSession:
             chained, self.total_scale, mode="uniform", tile=tile,
             overlap=overlap, tile_batch=tile_batch, mesh=mesh,
             compute_dtype=self.compute_dtype,
+            tile_quantum=max(st.model.tile_quantum for st in stages),
         )
 
     def prepare(self, img: np.ndarray) -> np.ndarray:

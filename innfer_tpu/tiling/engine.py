@@ -158,6 +158,7 @@ class TiledRunner:
         mesh: Optional[Mesh] = None,
         compute_dtype=None,
         max_group_px: int = 1_400_000,
+        tile_quantum: int = 1,
     ):
         self.apply_fn = apply_fn
         self.scale = scale
@@ -169,6 +170,7 @@ class TiledRunner:
         self.tile_batch = tile_batch
         self.bucket = bucket
         self.max_group_px = max_group_px
+        self.tile_quantum = tile_quantum
         self.output_index = output_index
         self.mesh = mesh
         self.compute_dtype = compute_dtype
@@ -185,6 +187,7 @@ class TiledRunner:
                     h, w, self.scale, overlap=self.overlap,
                     tile_batch=self.tile_batch,
                     max_group_px=self.max_group_px,
+                    align=max(8, self.tile_quantum),
                 )
             else:
                 plan = make_uniform_plan(

@@ -56,6 +56,20 @@ def test_fused_rdb_matches_xla(rng, nf, gc, t, block):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=3e-6)
 
 
+@pytest.mark.parametrize("th,tw,block", [
+    (48, 32, (16, 16)),    # rectangular tile, multi-block grid
+    (32, 64, (32, 32)),    # per-dim block clamp (bh=32 fits, bw=32 divides)
+    (96, 32, (64, 16)),    # bh falls back to a divisor of 96 (32)
+])
+def test_fused_rdb_rect_tiles(rng, th, tw, block):
+    nf, gc = 32, 16
+    ws, bs = _make_rdb(rng, nf, gc)
+    x = jnp.asarray(rng.standard_normal((2, th, tw, nf)).astype(np.float32))
+    ref = _xla_rdb(x, ws, bs)
+    out = fused_rdb(x, ws, bs, gc=gc, block=block, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=3e-6)
+
+
 def test_fused_rdb_plus(rng):
     nf, gc = 64, 32
     ws, bs = _make_rdb(rng, nf, gc)
