@@ -341,7 +341,8 @@ class InferenceSession:
         return s
 
     def build_fused_chain(self, *, tile: int = 128, overlap: int = 8,
-                          tile_batch: int = 8, mesh=None) -> TiledRunner:
+                          tile_batch: int = 8, mesh=None,
+                          mode: str = "uniform") -> TiledRunner:
         """Tile-through-chain execution: ONE tile pass runs every stage on
         each tile and blends once at the final scale.
 
@@ -366,7 +367,7 @@ class InferenceSession:
             return t
 
         return TiledRunner(
-            chained, self.total_scale, mode="uniform", tile=tile,
+            chained, self.total_scale, mode=mode, tile=tile,
             overlap=overlap, tile_batch=tile_batch, mesh=mesh,
             compute_dtype=self.compute_dtype,
             tile_quantum=max(st.model.tile_quantum for st in stages),

@@ -170,12 +170,12 @@ def make_auto_plan(
             return 1.0
         return 2.0 if chunk <= 4 else 1.3
 
-    def axis_options(dim: int):
+    def axis_options(dim: int, a: int):
         opts = []
         # a coarse align (tile_quantum) on an axis shorter than it would
         # demand reflect pads >= the image; fall back to fine alignment
         # there (the Pallas gate then routes that shape to XLA)
-        ax_align = align if dim >= align else 8
+        ax_align = a if dim >= a else 8
         max_n = max(1, -(-dim // min_tile))
         for n in range(1, max_n + 1):
             t = -(-(dim + (n - 1) * overlap) // n)
@@ -188,24 +188,35 @@ def make_auto_plan(
             opts.append((n, t, max(covered, t)))
         return opts
 
-    best = None
-    for nh, th, _ in axis_options(h):
-        for nw, tw, _ in axis_options(w):
-            n_tiles = nh * nw
-            chunk = min(tile_batch, n_tiles)
-            if chunk * th * tw > max_group_px:
-                continue
-            groups = -(-n_tiles // chunk)
-            slots = groups * chunk
-            # when a kernel quantum is requested (align >= 64), break
-            # pixel-cost ties toward dims the fused RDB can tile with
-            # 128-blocks (measured 42.6 vs 37-38 TF/s at 64-blocks)
-            kernel_pref = (
-                0 if align < 64 or (th % 128 == 0 and tw % 128 == 0) else 1)
-            cost = (slots * th * tw * batch_penalty(chunk), kernel_pref,
-                    groups, th * tw)
-            if best is None or cost < best[0]:
-                best = (cost, nh, th, nw, tw)
+    def search(a: int):
+        best = None
+        for nh, th, _ in axis_options(h, a):
+            for nw, tw, _ in axis_options(w, a):
+                n_tiles = nh * nw
+                chunk = min(tile_batch, n_tiles)
+                if chunk * th * tw > max_group_px:
+                    continue
+                groups = -(-n_tiles // chunk)
+                slots = groups * chunk
+                cost = (slots * th * tw * batch_penalty(chunk), groups, th * tw)
+                if best is None or cost < best[0]:
+                    best = (cost, nh, th, nw, tw)
+        return best
+
+    best = search(align)
+    if align >= 64 and best is not None:
+        # the coarse (fused-kernel quantum) grid only pays off when its
+        # extra processed pixels stay under the kernel's measured ~15-17%
+        # gain over the XLA path AND the chosen dims are actually in the
+        # kernel's fast regime (>=64 blocks); otherwise take the fine grid
+        # and let the Pallas gate route to XLA
+        fine = search(8)
+        eligible = all(
+            d % 64 == 0 or (64 <= d <= 128 and d % 16 == 0)
+            for d in (best[2], best[4]))
+        if fine is not None and (
+                not eligible or best[0][0] > 1.10 * fine[0][0]):
+            best = fine
     if best is None:
         # degenerate (huge overlap / tiny cap): fall back to uniform
         return make_uniform_plan(h, w, scale, tile=min_tile * 2,

@@ -80,6 +80,30 @@ class TestAutoPlan:
         assert plan.n_tiles == 1
         assert plan.pad_h >= 100 and plan.pad_w >= 64
 
+    def test_tile_quantum_align(self):
+        """align=64 (ModelDef.tile_quantum for the fused Pallas RDB) makes
+        both tile dims 64-multiples on big images and falls back per-axis
+        on images shorter than the quantum (reflect-pad safety)."""
+        plan = make_auto_plan(1080, 1920, 4, overlap=16, align=64)
+        assert plan.tile_h % 64 == 0 and plan.tile_w % 64 == 0
+        small = make_auto_plan(40, 200, 2, overlap=8, align=64)
+        # short H axis falls back to fine alignment; pads stay < image dims
+        assert small.pad_h - 40 < 40 and small.pad_w - 200 < 200
+
+    def test_quantum_plumbed_from_model(self):
+        """Synthetic ESRGAN declares tile_quantum=64 and TiledRunner passes
+        it to the auto planner."""
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools import synth_params as SP
+
+        model, _params = SP.build("esrgan", scale=4, nb=1, nf=16)
+        assert model.tile_quantum == 64
+        runner = TiledRunner(model.apply, model.scale, mode="auto",
+                             tile_quantum=model.tile_quantum)
+        plan = runner.plan_for(1080, 1920)
+        assert plan.tile_h % 64 == 0 and plan.tile_w % 64 == 0
+
     def test_auto_runner_matches_whole(self, rng):
         """Auto-tiled model output ~= whole-image forward (seams inside
         overlap; same bar as the uniform mode test)."""
