@@ -68,8 +68,10 @@ def collapse_upconv_weight(w: jax.Array, b, factor: int):
     activations at LR (4x less conv traffic at r=2) and widens Cout for the
     MXU; numerics differ from the HR form only by pre-summing kernel taps
     (~1e-7 rel in fp32).  This is the resize-convolution == constrained
-    sub-pixel-convolution identity (arXiv:1707.02937) run in reverse at
-    load time."""
+    sub-pixel-convolution identity (arXiv:1707.02937) run in reverse; the
+    weight rewrite executes inside the traced forward (one tiny einsum on
+    the kernel, ~negligible next to the convs it feeds) so checkpoints keep
+    their torch key layout."""
     import numpy as np
 
     r = factor

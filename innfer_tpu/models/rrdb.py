@@ -142,13 +142,7 @@ def _rdb5c_pallas(params, x, prefix: str, *, plus: bool):
     return fused_rdb(x, weights, biases, gc=gc, plus=plus, conv1x1_w=w1)
 
 
-def _dim_pallas_fast(dim: int) -> bool:
-    """True when ops/pallas/rdb._pick_block finds a >=64 block for this
-    tile dimension — the regime where the fused kernel beats XLA (measured
-    round 2: 38.5-42.6 TF/s at 64-128 blocks vs XLA's 33; 26.9 at 32)."""
-    if dim % 64 == 0:
-        return True
-    return 64 <= dim <= 128 and dim % 16 == 0
+from innfer_tpu.ops.pallas import dim_pallas_fast as _dim_pallas_fast
 
 
 def _use_pallas(x, act_type: str) -> bool:

@@ -177,8 +177,23 @@ class TiledRunner:
         self._compiled = {}
         self._plans = {}
 
-    def plan_for(self, h: int, w: int) -> TilePlan:
-        plan = self._plans.get((h, w))
+    def _effective_quantum(self, run_dtype=None) -> int:
+        """The model's tile_quantum matters only where the fused Pallas RDB
+        can actually fire (bf16 activations on the TPU backend, see
+        models/rrdb._use_pallas); everywhere else the coarse grid would pay
+        extra pixels for zero kernel gain."""
+        if self.tile_quantum <= 1:
+            return 1
+        dt = self.compute_dtype or run_dtype
+        if dt is not None and jnp.dtype(dt) != jnp.dtype(jnp.bfloat16):
+            return 1
+        if jax.default_backend() not in ("tpu", "axon"):
+            return 1
+        return self.tile_quantum
+
+    def plan_for(self, h: int, w: int, run_dtype=None) -> TilePlan:
+        quantum = self._effective_quantum(run_dtype)
+        plan = self._plans.get((h, w, quantum))
         if plan is None:
             if self.mode == "reference":
                 plan = make_reference_plan(h, w, self.scale, patch=self.patch, step=self.step)
@@ -187,18 +202,18 @@ class TiledRunner:
                     h, w, self.scale, overlap=self.overlap,
                     tile_batch=self.tile_batch,
                     max_group_px=self.max_group_px,
-                    align=max(8, self.tile_quantum),
+                    align=max(8, quantum),
                 )
             else:
                 plan = make_uniform_plan(
                     h, w, self.scale, tile=self.tile, overlap=self.overlap, bucket=self.bucket
                 )
-            self._plans[(h, w)] = plan
+            self._plans[(h, w, quantum)] = plan
         return plan
 
     def __call__(self, params, x: Array) -> Array:
         h, w = x.shape[1], x.shape[2]
-        plan = self.plan_for(h, w)
+        plan = self.plan_for(h, w, run_dtype=x.dtype)
         key = (plan.pad_h, plan.pad_w, plan.tile_h, plan.tile_w, x.dtype,
                x.shape[-1])
         fn = self._compiled.get(key)

@@ -203,20 +203,25 @@ def make_auto_plan(
                     best = (cost, nh, th, nw, tw)
         return best
 
-    best = search(align)
-    if align >= 64 and best is not None:
+    if align >= 64:
         # the coarse (fused-kernel quantum) grid only pays off when its
         # extra processed pixels stay under the kernel's measured ~15-17%
         # gain over the XLA path AND the chosen dims are actually in the
         # kernel's fast regime (>=64 blocks); otherwise take the fine grid
-        # and let the Pallas gate route to XLA
+        # (which also serves as the fallback when no coarse option fits
+        # max_group_px) and let the Pallas gate route to XLA
+        from innfer_tpu.ops.pallas import dim_pallas_fast
+
+        best = search(align)
         fine = search(8)
-        eligible = all(
-            d % 64 == 0 or (64 <= d <= 128 and d % 16 == 0)
-            for d in (best[2], best[4]))
-        if fine is not None and (
-                not eligible or best[0][0] > 1.10 * fine[0][0]):
+        if best is None:
             best = fine
+        elif fine is not None:
+            eligible = dim_pallas_fast(best[2]) and dim_pallas_fast(best[4])
+            if not eligible or best[0][0] > 1.10 * fine[0][0]:
+                best = fine
+    else:
+        best = search(align)
     if best is None:
         # degenerate (huge overlap / tiny cap): fall back to uniform
         return make_uniform_plan(h, w, scale, tile=min_tile * 2,

@@ -59,7 +59,8 @@ def test_fused_rdb_matches_xla(rng, nf, gc, t, block):
 @pytest.mark.parametrize("th,tw,block", [
     (48, 32, (16, 16)),    # rectangular tile, multi-block grid
     (32, 64, (32, 32)),    # per-dim block clamp (bh=32 fits, bw=32 divides)
-    (96, 32, (64, 16)),    # bh falls back to a divisor of 96 (32)
+    (96, 32, (64, 16)),    # th <= 128 and 64 does not divide: bh = th = 96
+    (192, 32, (128, 16)),  # th > 128, 128 does not divide: divisor loop -> 64
 ])
 def test_fused_rdb_rect_tiles(rng, th, tw, block):
     nf, gc = 32, 16

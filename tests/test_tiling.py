@@ -90,9 +90,11 @@ class TestAutoPlan:
         # short H axis falls back to fine alignment; pads stay < image dims
         assert small.pad_h - 40 < 40 and small.pad_w - 200 < 200
 
-    def test_quantum_plumbed_from_model(self):
+    def test_quantum_plumbed_from_model(self, monkeypatch):
         """Synthetic ESRGAN declares tile_quantum=64 and TiledRunner passes
-        it to the auto planner."""
+        it to the auto planner — but only in the regime where the fused
+        kernel can fire (bf16 on the TPU backend); fp32/CPU runs keep the
+        fine grid."""
         import sys
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         from tools import synth_params as SP
@@ -100,9 +102,20 @@ class TestAutoPlan:
         model, _params = SP.build("esrgan", scale=4, nb=1, nf=16)
         assert model.tile_quantum == 64
         runner = TiledRunner(model.apply, model.scale, mode="auto",
+                             compute_dtype=jnp.bfloat16,
                              tile_quantum=model.tile_quantum)
+        # CPU backend: quantum must NOT be paid (kernel cannot fire)
+        assert runner._effective_quantum() == 1
+        assert runner.plan_for(1080, 1920).tile_h == 552
+        # TPU backend + bf16: coarse grid
+        monkeypatch.setattr(jax, "default_backend", lambda: "axon")
         plan = runner.plan_for(1080, 1920)
         assert plan.tile_h % 64 == 0 and plan.tile_w % 64 == 0
+        # TPU backend + fp32: fine grid again
+        runner_fp32 = TiledRunner(model.apply, model.scale, mode="auto",
+                                  compute_dtype=jnp.float32,
+                                  tile_quantum=model.tile_quantum)
+        assert runner_fp32._effective_quantum() == 1
 
     def test_auto_runner_matches_whole(self, rng):
         """Auto-tiled model output ~= whole-image forward (seams inside
@@ -116,7 +129,7 @@ class TestAutoPlan:
         runner = TiledRunner(model.apply, model.scale, mode="auto",
                              overlap=8, tile_batch=4)
         # force a real grid through the runner's planner
-        runner._plans[(40, 56)] = make_auto_plan(
+        runner._plans[(40, 56, 1)] = make_auto_plan(
             40, 56, model.scale, overlap=8, tile_batch=4,
             max_group_px=4 * 24 * 32, min_tile=16)
         tiled = runner(params, x)

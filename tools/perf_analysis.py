@@ -39,10 +39,14 @@ def main():
         return float(jax.jit(lambda t: jnp.sum(t.astype(jnp.float32)))(x))
 
     def timed(run, x, n=3):
-        sync(run(x))  # compile + warm
+        """Chain each sample's output into the next input (all samples here
+        are shape-preserving) so no dispatch is droppable, and fetch the
+        final scalar once."""
+        y = run(x)
+        sync(y)  # compile + warm
         t0 = time.perf_counter()
         for _ in range(n):
-            y = run(x)
+            y = run(y)
         sync(y)
         return (time.perf_counter() - t0) / n
 
