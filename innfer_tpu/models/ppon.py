@@ -26,7 +26,22 @@ from innfer_tpu.models.base import ModelDef
 from innfer_tpu.nn import functional as F
 
 
-def _res_block_32(params, x, prefix: str):
+def _res_block_32(params, x, prefix: str, backend: str = "auto"):
+    if backend == "pallas":
+        # Fused whole-block kernel (ops/pallas/resblock32).  Opt-in:
+        # measured +11% over XLA at (64,128) blocks — the block's 32-channel
+        # conv outputs pad 4x on the 128-lane MXU in-kernel too, so unlike
+        # the RDB kernel the gain rarely covers the tile-quantum roundup.
+        from innfer_tpu.ops.pallas.resblock32 import fused_resblock32
+
+        g = lambda n: params[f"{prefix}.{n}.weight"]
+        gb = lambda n: params[f"{prefix}.{n}.bias"]
+        return fused_resblock32(
+            x, g("c1"), gb("c1"),
+            [g(f"d{r}") for r in range(1, 9)],
+            [gb(f"d{r}") for r in range(1, 9)],
+            g("c2"), gb("c2"), block=(64, 128),
+        )
     lr = lambda t: F.leaky_relu(t, 0.2)
     conv = lambda name, t, pad, dil: F.conv2d(
         t, params[f"{prefix}.{name}.weight"], params.get(f"{prefix}.{name}.bias"),
@@ -44,10 +59,10 @@ def _res_block_32(params, x, prefix: str):
     return x + out2 * jnp.asarray(0.2, x.dtype)
 
 
-def _rr_block(params, x, prefix: str):
+def _rr_block(params, x, prefix: str, backend: str = "auto"):
     out = x
     for name in ("RB1", "RB2", "RB3"):
-        out = _res_block_32(params, out, f"{prefix}.{name}")
+        out = _res_block_32(params, out, f"{prefix}.{name}", backend=backend)
     return out * jnp.asarray(0.2, x.dtype) + x
 
 
@@ -56,6 +71,7 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     upscale = int(cfg.get("upscale", 4))
     act_type = cfg.get("act_type", "lrelu")
     alpha = float(cfg.get("alpha", 1.0))
+    backend = cfg.get("backend", "auto")
 
     n_up, factor = C.n_upscale_blocks(upscale)
     # recon modules: [n_up x (Upsample, conv, act)] + HR0 conv + act + HR1 conv
@@ -75,7 +91,7 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         fea = C.conv3x3(params, x, "CFEM.0")
         t = fea
         for i in range(nb):
-            t = _rr_block(params, t, f"CFEM.1.sub.{i}")
+            t = _rr_block(params, t, f"CFEM.1.sub.{i}", backend=backend)
         t = C.conv3x3(params, t, f"CFEM.1.sub.{nb}")
         out_cfem = fea + t
 
@@ -83,12 +99,12 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
 
         out_sfem = out_cfem
         for i in range(2):
-            out_sfem = _rr_block(params, out_sfem, f"SFEM.{i}")
+            out_sfem = _rr_block(params, out_sfem, f"SFEM.{i}", backend=backend)
         out_s = recon(params, out_sfem, "SRM") + out_c
 
         out_pfem = out_sfem
         for i in range(2):
-            out_pfem = _rr_block(params, out_pfem, f"PFEM.{i}")
+            out_pfem = _rr_block(params, out_pfem, f"PFEM.{i}", backend=backend)
         out_p = jnp.asarray(alpha, x.dtype) * recon(params, out_pfem, "PRM") + out_s
 
         return out_c, out_s, out_p

@@ -1,0 +1,210 @@
+"""Fused PPON _ResBlock_32 Pallas TPU kernel.
+
+The PPON trunk is 28 RRBlocks x 3 ResBlock_32 = 84 blocks of 10 small convs
+each (reference PPON_arch.py:78-116): c1 (nf->gc 3x3), eight PARALLEL
+dilated 3x3 convs d1..d8 (gc->gc, rates 1..8) over lrelu(c1(x)), cascading
+prefix sums, channel concat, lrelu, a 1x1 fuse (8*gc->nf) and a 0.2
+residual.  On XLA every one of those ops round-trips HBM (~3 KB/px per
+block measured), which pins PPON at ~30% of the conv floor — the worst
+config in BASELINE.md.  This kernel runs the whole block out of VMEM:
+
+  * one DMA in (block + 9-pixel halo: 1 for c1 + up to 8 for d8),
+    one DMA out,
+  * convs as K-packed 9-tap matmuls exactly like ops/pallas/rdb.py: for
+    dilation r the column taps are +-r f32 rolls and the row taps are
+    +-r*wp slice+concat shifts — r*wp is always a 16-row multiple, so
+    every dilation rate takes the cheap aligned path,
+  * the cascade s_r = s_{r-1} + d_r accumulates in fp32; each lrelu(s_r)
+    immediately multiplies its (gc, nf) slice of the 1x1 fuse weight into
+    an fp32 output accumulator, so the 8*gc concat never materializes,
+  * torch zero-pad semantics via masking at the global tile extent
+    (same scheme as rdb.py; boundary garbage from the wrapping shifts
+    stays inside the halo rings the output crop discards — the 1x1 fuse
+    has no spatial taps, so d_r garbage cannot propagate inward).
+
+Numerics: fp32 accumulation per conv and across the cascade; exact vs the
+XLA path in fp32 (tests/test_pallas_resblock32.py, interpret mode).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from innfer_tpu.ops.pallas.rdb import _pick_block, _shift_rows
+
+HALO = 9          # c1 (1) + max dilation rate (8)
+LANE = 128
+W_SLACK = 14      # wp = bw + 2*HALO + W_SLACK must be a 16 multiple
+
+
+def _pack9(w: jax.Array) -> jax.Array:
+    """(3, 3, Cin, Cout) -> (9*Cin, Cout), rows in (dy, dx, c) order."""
+    dy, dx, ci, n = w.shape
+    return w.reshape(dy * dx * ci, n)
+
+
+def _resblock_kernel(
+    xp_hbm, c1w, d1w, d2w, d3w, d4w, d5w, d6w, d7w, d8w, c2w,
+    c1b, dbias, c2b, _out_buf, out_ref,
+    x_vm, out_vm, sem, sem_out,
+    *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int,
+    neg_slope: float,
+):
+    by = pl.program_id(1)
+    bx = pl.program_id(2)
+    hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
+    pp = hp * wp
+
+    cp = pltpu.make_async_copy(
+        xp_hbm.at[pl.program_id(0), pl.ds(by * bh, hp), pl.ds(bx * bw, wp), :],
+        x_vm, sem,
+    )
+    cp.start()
+    cp.wait()
+
+    xf = x_vm[:].reshape(pp, LANE)[:, :nf]
+
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) // wp
+    colid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) % wp
+    g_row = by * bh + rowid
+    g_col = bx * bw + colid
+    valid = (
+        (g_row >= HALO) & (g_row < HALO + t_h)
+        & (g_col >= HALO) & (g_col < HALO + t_w)
+    )
+
+    def canon(a):
+        # net-zero f32 double rotate: forces a canonical aligned layout
+        # (see rdb.py act(); lane-offset layouts poison shifted concats)
+        a = pltpu.roll(pltpu.roll(a.astype(jnp.float32), 8, 0), pp - 8, 0)
+        return a
+
+    def act_mask(pre):
+        a = jnp.where(pre >= 0, pre, pre * neg_slope)
+        a = jnp.where(valid, a, 0.0)
+        return canon(a).astype(xf.dtype)
+
+    def nine_taps(src, r):
+        """(pp, 9*C) shifted concat for a dilation-r 3x3 window."""
+        trio = jnp.concatenate(
+            [_shift_rows(src, -r), src, _shift_rows(src, r)], axis=1
+        )
+        return jnp.concatenate(
+            [_shift_rows(trio, -r * wp), trio, _shift_rows(trio, r * wp)],
+            axis=1,
+        )
+
+    # c1: nf -> gc, rate 1.  9*nf can exceed the live-concat budget; split
+    # the dot per dy row like rdb.py does for wide sources.
+    trio = jnp.concatenate(
+        [_shift_rows(xf, -1), xf, _shift_rows(xf, 1)], axis=1
+    )
+    w = c1w[:]
+    pre = jnp.dot(_shift_rows(trio, -wp), w[: 3 * nf],
+                  preferred_element_type=jnp.float32)
+    pre = pre + jnp.dot(trio, w[3 * nf: 6 * nf],
+                        preferred_element_type=jnp.float32)
+    pre = pre + jnp.dot(_shift_rows(trio, wp), w[6 * nf:],
+                        preferred_element_type=jnp.float32)
+    h = act_mask(pre + c1b[:])
+
+    d_ws = (d1w, d2w, d3w, d4w, d5w, d6w, d7w, d8w)
+    s = None
+    out2 = None
+    for r in range(1, 9):
+        d = jnp.dot(nine_taps(h, r), d_ws[r - 1][:],
+                    preferred_element_type=jnp.float32)
+        d = d + dbias[:, (r - 1) * gc: r * gc]
+        s = d if s is None else s + d
+        a = act_mask(s)
+        p = jnp.dot(a, c2w[:][(r - 1) * gc: r * gc, :],
+                    preferred_element_type=jnp.float32)
+        out2 = p if out2 is None else out2 + p
+
+    out2 = out2 + c2b[:]
+    out = (xf.astype(jnp.float32) + 0.2 * out2).astype(xf.dtype)
+    out = jnp.concatenate(
+        [out, jnp.zeros((pp, LANE - nf), out.dtype)], axis=1
+    )
+    out3 = out.reshape(hp, wp, LANE)
+    out_vm[:] = out3[HALO: HALO + bh, HALO: HALO + bw, :]
+    cpo = pltpu.make_async_copy(
+        out_vm,
+        out_ref.at[pl.program_id(0), pl.ds(by * bh, bh), pl.ds(bx * bw, bw), :],
+        sem_out,
+    )
+    cpo.start()
+    cpo.wait()
+
+
+def fused_resblock32(
+    x: jax.Array,
+    c1_w: jax.Array, c1_b: jax.Array,
+    d_ws: List[jax.Array], d_bs: List[jax.Array],
+    c2_w: jax.Array, c2_b: jax.Array,
+    *,
+    block: Tuple[int, int] = (64, 64),
+    neg_slope: float = 0.2,
+    interpret: bool = False,
+) -> jax.Array:
+    """One fused _ResBlock_32 forward.
+
+    x: (B, th, tw, nf); c1_w HWIO (3,3,nf,gc); d_ws[r] HWIO (3,3,gc,gc)
+    for rates 1..8; c2_w (1,1,8*gc,nf) or (8*gc,nf).  Returns
+    x + 0.2 * fuse(cascade) with reference PPON_arch.py:78-116 semantics.
+    """
+    b, th, tw, nf = x.shape
+    gc = int(c1_w.shape[-1])
+    assert len(d_ws) == 8 and len(d_bs) == 8
+    bh, bw = _pick_block(th, block[0]), _pick_block(tw, block[1])
+    hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
+    assert wp % 16 == 0, (wp, bw)
+
+    c2 = c2_w.reshape(8 * gc, nf)
+    dbias = jnp.concatenate([bb.astype(jnp.float32) for bb in d_bs])[None, :]
+
+    xp = jnp.pad(
+        x, [(0, 0), (HALO, HALO), (HALO, HALO + W_SLACK), (0, LANE - nf)]
+    )
+    grid = (b, th // bh, tw // bw)
+    kernel = functools.partial(
+        _resblock_kernel, nf=nf, gc=gc, bh=bh, bw=bw, t_h=th, t_w=tw,
+        neg_slope=neg_slope,
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
+        + [vspec] * 9 + [vspec]          # packed conv weights
+        + [vspec, vspec, vspec]          # c1 bias, d biases, c2 bias
+        + [pl.BlockSpec(memory_space=pltpu.HBM)],  # donated output
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((b, th, tw, LANE), x.dtype),
+        input_output_aliases={14: 0},
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp, LANE), x.dtype),
+            pltpu.VMEM((bh, bw, LANE), x.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        xp,
+        _pack9(c1_w).astype(x.dtype),
+        *[_pack9(wr).astype(x.dtype) for wr in d_ws],
+        c2.astype(x.dtype),
+        c1_b.astype(jnp.float32)[None, :],
+        dbias,
+        c2_b.astype(jnp.float32)[None, :],
+        jnp.zeros((b, th, tw, LANE), x.dtype),
+    )
+    return out[..., :nf]
