@@ -26,16 +26,45 @@ from innfer_tpu.models.base import ModelDef
 from innfer_tpu.nn import functional as F
 
 
+def _rb32_pallas_ok(x) -> bool:
+    """Shape/platform gate for the fused ResBlock kernel: TPU backend and
+    tile dims with a 16-multiple kernel-block divisor (mirrors rrdb's
+    _pallas_ok so backend='pallas' fails loudly, never inside Mosaic)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    from innfer_tpu.ops.pallas.rdb import _pick_block
+
+    try:
+        # blocks must also be 16-multiples so the halo canvas width
+        # (bw + 2*9 + 14) lands on a 16-row tile boundary
+        ok = (_pick_block(int(x.shape[1]), 64) % 16 == 0
+              and _pick_block(int(x.shape[2]), 128) % 16 == 0)
+    except ValueError:
+        return False
+    return ok and x.ndim == 4
+
+
 def _res_block_32(params, x, prefix: str, backend: str = "auto"):
     if backend == "pallas":
         # Fused whole-block kernel (ops/pallas/resblock32).  Opt-in:
         # measured +11% over XLA at (64,128) blocks — the block's 32-channel
         # conv outputs pad 4x on the 128-lane MXU in-kernel too, so unlike
         # the RDB kernel the gain rarely covers the tile-quantum roundup.
+        if not _rb32_pallas_ok(x):
+            raise ValueError(
+                "ppon backend='pallas' requires the TPU backend and tile "
+                "dims with a 16-multiple kernel-block divisor (64-multiples "
+                f"recommended; ModelDef.tile_quantum asks the planner); got "
+                f"shape {x.shape} on {jax.default_backend()}")
         from innfer_tpu.ops.pallas.resblock32 import fused_resblock32
 
+        zeros = lambda c: jnp.zeros((c,), jnp.float32)
         g = lambda n: params[f"{prefix}.{n}.weight"]
-        gb = lambda n: params[f"{prefix}.{n}.bias"]
+
+        def gb(n):
+            b = params.get(f"{prefix}.{n}.bias")
+            return b if b is not None else zeros(g(n).shape[-1])
+
         return fused_resblock32(
             x, g("c1"), gb("c1"),
             [g(f"d{r}") for r in range(1, 9)],
@@ -110,5 +139,7 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         return out_c, out_s, out_p
 
     return ModelDef(
-        name="ppon", cfg=dict(cfg), apply=apply, scale=upscale, output_index=2
+        name="ppon", cfg=dict(cfg), apply=apply, scale=upscale, output_index=2,
+        # fused-kernel opt-in needs planner cooperation (64-multiple dims)
+        tile_quantum=64 if backend == "pallas" else 1,
     )

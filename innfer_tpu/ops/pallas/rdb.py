@@ -82,6 +82,27 @@ def _shift_rows(v: jax.Array, k: int) -> jax.Array:
     return rolled.astype(v.dtype)
 
 
+def _canon(a: jax.Array, pp: int) -> jax.Array:
+    """Net-zero f32 double rotate: forces a canonical (offset-0) layout.
+    Lane-offset layouts (e.g. from value column slices) poison later
+    shifted concats ("offset mismatch on non-concat dimension")."""
+    return pltpu.roll(pltpu.roll(a.astype(jnp.float32), 8, 0), pp - 8, 0)
+
+
+def _tile_valid_mask(by, bx, *, bh, bw, wp, pp, t_h, t_w, halo):
+    """(pp, 1) mask of canvas positions whose GLOBAL coords fall inside the
+    tile: everything else must read as zero for the next conv (the
+    reference zero-pads every conv at the tile extent)."""
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) // wp
+    colid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) % wp
+    g_row = by * bh + rowid
+    g_col = bx * bw + colid
+    return (
+        (g_row >= halo) & (g_row < halo + t_h)
+        & (g_col >= halo) & (g_col < halo + t_w)
+    )
+
+
 def _rdb_kernel(
     xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, _out_buf, out_ref,
     x_vm, out_vm, sem, sem_out,
@@ -103,16 +124,8 @@ def _rdb_kernel(
 
     xf = x_vm[:].reshape(pp, LANE)[:, :nf]  # drop the lane padding
 
-    # mask: positions whose GLOBAL coords fall outside the tile must read as
-    # zero for the next conv (the reference zero-pads every conv)
-    rowid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) // wp
-    colid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) % wp
-    g_row = by * bh + rowid
-    g_col = bx * bw + colid
-    valid = (
-        (g_row >= HALO) & (g_row < HALO + t_h)
-        & (g_col >= HALO) & (g_col < HALO + t_w)
-    )
+    valid = _tile_valid_mask(by, bx, bh=bh, bw=bw, wp=wp, pp=pp,
+                             t_h=t_h, t_w=t_w, halo=HALO)
 
     def source_contrib(src, wt_ref):
         """Per-source K-packed matmuls; the 9-tap im2col exists only as a
@@ -148,11 +161,7 @@ def _rdb_kernel(
     def act(pre):
         a = jnp.where(pre >= 0, pre, pre * neg_slope)
         a = jnp.where(valid, a, 0.0)
-        # The lane-offset layout of the acc column slice would poison the
-        # later shifted concats ("offset mismatch on non-concat dimension");
-        # a net-zero double rotate in f32 forces a canonical aligned layout.
-        a = pltpu.roll(pltpu.roll(a.astype(jnp.float32), 8, 0), pp - 8, 0)
-        return a.astype(xf.dtype)
+        return _canon(a, pp).astype(xf.dtype)
 
     acc = jnp.broadcast_to(bias[:], (pp, n_total)).astype(jnp.float32)
     acc = acc + source_contrib(xf, wt0)

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from innfer_tpu.ops.pallas.rdb import _pick_block, _shift_rows
+from innfer_tpu.ops.pallas.rdb import (_canon, _pick_block, _shift_rows,
+                                       _tile_valid_mask)
 
 HALO = 9          # c1 (1) + max dilation rate (8)
 LANE = 128
@@ -69,25 +70,13 @@ def _resblock_kernel(
 
     xf = x_vm[:].reshape(pp, LANE)[:, :nf]
 
-    rowid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) // wp
-    colid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) % wp
-    g_row = by * bh + rowid
-    g_col = bx * bw + colid
-    valid = (
-        (g_row >= HALO) & (g_row < HALO + t_h)
-        & (g_col >= HALO) & (g_col < HALO + t_w)
-    )
-
-    def canon(a):
-        # net-zero f32 double rotate: forces a canonical aligned layout
-        # (see rdb.py act(); lane-offset layouts poison shifted concats)
-        a = pltpu.roll(pltpu.roll(a.astype(jnp.float32), 8, 0), pp - 8, 0)
-        return a
+    valid = _tile_valid_mask(by, bx, bh=bh, bw=bw, wp=wp, pp=pp,
+                             t_h=t_h, t_w=t_w, halo=HALO)
 
     def act_mask(pre):
         a = jnp.where(pre >= 0, pre, pre * neg_slope)
         a = jnp.where(valid, a, 0.0)
-        return canon(a).astype(xf.dtype)
+        return _canon(a, pp).astype(xf.dtype)
 
     def nine_taps(src, r):
         """(pp, 9*C) shifted concat for a dilation-r 3x3 window."""
@@ -114,15 +103,17 @@ def _resblock_kernel(
     h = act_mask(pre + c1b[:])
 
     d_ws = (d1w, d2w, d3w, d4w, d5w, d6w, d7w, d8w)
+    dbias_v = dbias[:]   # full ref read; only VALUES get lane-sliced below
+    c2_v = c2w[:]
     s = None
     out2 = None
     for r in range(1, 9):
         d = jnp.dot(nine_taps(h, r), d_ws[r - 1][:],
                     preferred_element_type=jnp.float32)
-        d = d + dbias[:, (r - 1) * gc: r * gc]
+        d = d + dbias_v[:, (r - 1) * gc: r * gc]
         s = d if s is None else s + d
         a = act_mask(s)
-        p = jnp.dot(a, c2w[:][(r - 1) * gc: r * gc, :],
+        p = jnp.dot(a, c2_v[(r - 1) * gc: r * gc, :],
                     preferred_element_type=jnp.float32)
         out2 = p if out2 is None else out2 + p
 
@@ -163,7 +154,9 @@ def fused_resblock32(
     assert len(d_ws) == 8 and len(d_bs) == 8
     bh, bw = _pick_block(th, block[0]), _pick_block(tw, block[1])
     hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
-    assert wp % 16 == 0, (wp, bw)
+    assert wp % 16 == 0, (
+        f"canvas width {wp} must be a 16-row tile multiple (pick bw in 16s)"
+    )
 
     c2 = c2_w.reshape(8 * gc, nf)
     dbias = jnp.concatenate([bb.astype(jnp.float32) for bb in d_bs])[None, :]

@@ -79,10 +79,16 @@ def test_ppon_backend_pallas_plumbing(rng, monkeypatch):
     monkeypatch.setattr(
         RB, "fused_resblock32",
         lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
     out_fused = _res_block_32(p, x, pre, backend="pallas")
     out_xla = _res_block_32(p, x, pre, backend="auto")
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
                                atol=5e-6, rtol=5e-6)
+
+    # the gate must reject unsupported dims loudly, not inside Mosaic
+    bad = jnp.zeros((1, 72, 72, nf), jnp.float32)
+    with pytest.raises(ValueError, match="pallas"):
+        _res_block_32(p, bad, pre, backend="pallas")
 
 
 def test_fused_resblock_bf16_close(rng):
