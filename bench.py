@@ -117,6 +117,7 @@ def main():
         runner = TiledRunner(chained, 4, mode=args.tile_mode, tile=args.tile,
                              overlap=args.overlap, tile_batch=args.tile_batch,
                              compute_dtype=dtype,
+                             max_group_px=args.max_group_px,
                              tile_quantum=max(m1.tile_quantum, m2.tile_quantum))
         hh, ww = h // 2, w // 2  # keep chain runtime reasonable
         x = jnp.asarray(rng.random((1, hh, ww, 3), np.float32), dtype)

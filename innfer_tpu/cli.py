@@ -65,7 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial", action="store_true",
                    help="Whole-image forwards H-sharded over the --dp mesh "
                    "(halo-exchange convs) instead of tiling; for images too "
-                   "large to tile-batch.")
+                   "large to tile-batch.  Not combinable with --tp.")
     p.add_argument("--coordinator", type=str, default=None,
                    help="jax.distributed coordinator address (multi-host).")
     p.add_argument("--num-processes", type=int, default=None,
@@ -106,12 +106,13 @@ def main(argv=None) -> int:
     if args.dp not in (0, 1) or args.tp > 1:
         from innfer_tpu.parallel.mesh import make_mesh
 
-        n_data = None if args.dp in (0, 1, -1) else args.dp
+        # dp=0/1 means NO data parallelism (1-wide data axis); only the
+        # explicit -1 asks for "all devices not used by --tp"
+        n_data = None if args.dp == -1 else max(1, args.dp)
         mesh = make_mesh(n_data=n_data, n_model=args.tp)
 
     if args.spatial and mesh is None:
-        raise SystemExit("--spatial requires a device mesh; add --dp N "
-                         "(and optionally --tp N)")
+        raise SystemExit("--spatial requires a device mesh; add --dp N")
 
     presets = select_presets(args.arch, args.models, norm_flag=args.norm)
     if args.tile_mode == "none":

@@ -129,6 +129,18 @@ def conv3x3(params: Params, x: jax.Array, key: str) -> jax.Array:
 # Reference conv_block semantics (mode CNA | NAC | CNAC, norm, act, pad)
 # ---------------------------------------------------------------------------
 
+def warn_train_dropout(arch: str) -> None:
+    """Loud one-time note that deterministic inference diverges from the
+    reference's stochastic train-mode dropout (block.py Dropout(0.5))."""
+    import warnings
+
+    warnings.warn(
+        f"{arch} generator with use_dropout=True in train mode: the "
+        "reference samples Dropout(0.5) stochastically; this framework "
+        "is deterministic and treats dropout as identity, so outputs "
+        "will differ from the reference's random draws")
+
+
 def conv_block_layout(mode: str = "CNA", norm_type=None, act_type=None,
                       pad_type: str = "zero") -> List[str]:
     """Positional submodule kinds of a reference ``conv_block``.

@@ -16,6 +16,7 @@ from typing import Any, Dict, List
 
 import jax
 
+from innfer_tpu.models import common as C
 from innfer_tpu.models.base import ModelDef
 from innfer_tpu.nn import functional as F
 
@@ -41,13 +42,7 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     meval = bool(cfg.get("meval", True))
     use_dropout = bool(cfg.get("use_dropout", False))
     if use_dropout and not meval:
-        import warnings
-
-        warnings.warn(
-            "resnet generator with use_dropout=True in train mode: the "
-            "reference samples Dropout(0.5) stochastically; this framework "
-            "is deterministic and treats dropout as identity, so outputs "
-            "will differ from the reference's random draws")
+        C.warn_train_dropout("resnet")
 
     def norm(params, x, key):
         if is_instance:

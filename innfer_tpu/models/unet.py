@@ -28,6 +28,7 @@ from typing import Any, Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
+from innfer_tpu.models import common as C
 from innfer_tpu.models.base import ModelDef
 from innfer_tpu.nn import functional as F
 from innfer_tpu.nn import resize as R
@@ -46,13 +47,7 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     upsample_mode = cfg.get("upsample_mode", "deconv")
     meval = bool(cfg.get("meval", False))  # pix2pix preset: train-mode BN
     if bool(cfg.get("use_dropout", False)) and not meval:
-        import warnings
-
-        warnings.warn(
-            "unet generator with use_dropout=True in train mode: the "
-            "reference samples Dropout(0.5) stochastically; this framework "
-            "is deterministic and treats dropout as identity, so outputs "
-            "will differ from the reference's random draws")
+        C.warn_train_dropout("unet")
 
     if norm_type in ("BN", "batch"):
         is_instance = False

@@ -48,6 +48,10 @@ def spatial_supported(cfg: Dict[str, Any]) -> bool:
         and (cfg.get("mode") or "CNA").upper() in ("CNA", "CNAC")
         and cfg.get("act_type", "leakyrelu") in
         ("relu", "leakyrelu", "lrelu", "tanh", "sigmoid")
+        # parameterized final activations (prelu/swish) would need act-key
+        # plumbing this forward does not have — reject here, not mid-trace
+        and cfg.get("finalact") in
+        (None, "relu", "leakyrelu", "lrelu", "tanh", "sigmoid")
         and cfg.get("convtype", "Conv2D") == "Conv2D"
     )
 

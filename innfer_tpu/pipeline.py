@@ -210,6 +210,7 @@ class Stage:
     params: Params
     chop: bool
     runner: Optional[TiledRunner] = None
+    mesh: Any = None
     _whole_jit: Any = None
     _fallback: Optional[TiledRunner] = None
 
@@ -219,7 +220,19 @@ class Stage:
         if (jax.default_backend() != "cpu"
                 and _whole_forward_bytes(self.model, x) > _WHOLE_IMAGE_HBM_BUDGET):
             # whole-image activations would overflow HBM: fall back to the
-            # auto-tiled engine instead of crashing the device
+            # auto-tiled engine instead of crashing the device.  Stages
+            # whose numerics DEPEND on whole-image extent (train-mode batch
+            # norm computes batch statistics) must not silently switch to
+            # per-tile statistics — fail loudly instead.
+            if not self.model.cfg.get("meval", True):
+                raise ValueError(
+                    f"whole-image forward of {x.shape[1]}x{x.shape[2]} would "
+                    f"need ~{_whole_forward_bytes(self.model, x) / 1024**3:.1f}"
+                    " GB HBM, and this stage runs train-mode normalization "
+                    "whose statistics are whole-image-dependent — tiled "
+                    "execution would change the output.  Resize the input "
+                    "(the reference resizes pix2pix inputs to 256/512) or "
+                    "run on a host with more memory.")
             if self._fallback is None:
                 import logging
 
@@ -232,6 +245,7 @@ class Stage:
                     self.model.apply, self.model.scale, mode="auto",
                     output_index=self.model.output_index,
                     tile_quantum=self.model.tile_quantum,
+                    mesh=self.mesh,
                     compute_dtype=x.dtype)
             return self._fallback(self.params, x)
         if self._whole_jit is None:
@@ -311,6 +325,12 @@ class InferenceSession:
             runner = None
             chop = self.presets.chop
             if spatial and mesh is not None:
+                if mesh.shape.get("model", 1) > 1:
+                    raise NotImplementedError(
+                        "--spatial shards the image over the 'data' axis "
+                        "only; combining it with --tp would silently "
+                        "re-replicate the tp-sharded params inside "
+                        "shard_map.  Use --spatial with --dp alone.")
                 # intra-image spatial sharding: whole-image forward,
                 # H-sharded over the mesh with per-conv halo exchange
                 from innfer_tpu.parallel.spatial_model import (
@@ -331,7 +351,7 @@ class InferenceSession:
                     compute_dtype=compute_dtype,
                     tile_quantum=model.tile_quantum,
                 )
-            self.stages.append(Stage(model, params, chop, runner))
+            self.stages.append(Stage(model, params, chop, runner, mesh=mesh))
 
     @property
     def total_scale(self) -> int:

@@ -80,6 +80,12 @@ int decode_png(const char* path, uint8_t** out, int* h, int* w, int* c) {
     return IMG_ERR_DECODE;
   }
   png_bytep* rows = (png_bytep*)malloc(sizeof(png_bytep) * height);
+  if (!rows) {
+    free(buf);
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return IMG_ERR_DECODE;
+  }
   for (int y = 0; y < height; ++y) rows[y] = buf + (size_t)y * stride;
   png_read_image(png, rows);
   free(rows);
@@ -140,6 +146,12 @@ int decode_png16(const char* path, uint16_t** out, int* h, int* w, int* c) {
     return IMG_ERR_DECODE;
   }
   png_bytep* rows = (png_bytep*)malloc(sizeof(png_bytep) * height);
+  if (!rows) {
+    free(buf);
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return IMG_ERR_DECODE;
+  }
   for (int y = 0; y < height; ++y)
     rows[y] = (png_bytep)((uint8_t*)buf + (size_t)y * stride);
   png_read_image(png, rows);

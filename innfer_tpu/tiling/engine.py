@@ -203,6 +203,7 @@ class TiledRunner:
                     tile_batch=self.tile_batch,
                     max_group_px=self.max_group_px,
                     align=max(8, quantum),
+                    fixed_chunk=self.mesh is not None,
                 )
             else:
                 plan = make_uniform_plan(

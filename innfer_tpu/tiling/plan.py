@@ -146,6 +146,7 @@ def make_uniform_plan(
 def make_auto_plan(
     h: int, w: int, scale: int, *, overlap: int = 16, tile_batch: int = 8,
     max_group_px: int = 1_400_000, min_tile: int = 64, align: int = 8,
+    fixed_chunk: bool = False,
 ) -> TilePlan:
     """Grid-fit planner: choose a (possibly rectangular) tile size per image
     so the grid covers H x W with minimal total processed pixels.
@@ -193,7 +194,10 @@ def make_auto_plan(
         for nh, th, _ in axis_options(h, a):
             for nw, tw, _ in axis_options(w, a):
                 n_tiles = nh * nw
-                chunk = min(tile_batch, n_tiles)
+                # a sharded runner pads the batch to full tile_batch chunks
+                # (engine.tiled_apply mesh branch), so the dispatch-group
+                # pixel cap and the dead-slot cost must use the full chunk
+                chunk = tile_batch if fixed_chunk else min(tile_batch, n_tiles)
                 if chunk * th * tw > max_group_px:
                     continue
                 groups = -(-n_tiles // chunk)
