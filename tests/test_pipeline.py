@@ -112,6 +112,23 @@ class TestEndToEnd:
         im = cv2.imread(str(out / "a.png"))
         assert im.shape == (80, 112, 3)
 
+    def test_hbm_fallback_refuses_train_mode_stats(self, monkeypatch):
+        """The whole-image->tiled HBM fallback must fail loudly for stages
+        whose numerics depend on whole-image extent (train-mode BN), not
+        silently switch to per-tile statistics."""
+        import pytest as _pytest
+
+        import innfer_tpu.pipeline as P
+        from innfer_tpu.loader import load_model
+
+        model, params = load_model(osp.join(GOLDENS, "esrgan_x2.pth"))
+        model.cfg["meval"] = False  # pretend train-mode normalization
+        stage = P.Stage(model, params, chop=False)
+        monkeypatch.setattr(P, "_whole_forward_bytes", lambda m, x: 1 << 40)
+        monkeypatch.setattr(P.jax, "default_backend", lambda: "axon")
+        with _pytest.raises(ValueError, match="train-mode"):
+            stage(jnp.zeros((1, 32, 32, 3), jnp.float32))
+
     def test_evsrgan_rejected_by_pipeline(self):
         # Conv3D (video) networks cannot be fed by the 2D image pipeline —
         # must fail loudly, not with a conv shape error (reference parity:
