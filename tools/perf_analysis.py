@@ -108,9 +108,19 @@ def main():
     dt = timed(run, xt) / iters
     flops = 2 * 9 * B * H * W * sum(
         (NF + k * GC) * (GC if k < 4 else NF) for k in range(5))
-    results["trunk_tfs"] = round(flops / dt / 1e12, 1)
+    results["trunk_xla_tfs"] = round(flops / dt / 1e12, 1)
     results["trunk_bytes_per_px_per_rdb"] = round(
         results["copy_bw_gbs"] * 1e9 * dt / (B * H * W), 1)
+
+    # --- same trunk through the production fused Pallas RDB (64x64) ---
+    if jax.default_backend() in ("tpu", "axon"):
+        from innfer_tpu.ops.pallas.rdb import fused_rdb
+
+        runp = jax.jit(lambda t: lax.scan(
+            lambda c, _: (fused_rdb(c, ws, bs, gc=GC), None),
+            t, None, length=iters)[0])
+        dtp = timed(runp, xt) / iters
+        results["trunk_pallas_tfs"] = round(flops / dtp / 1e12, 1)
 
     # headline speed-of-light at this peak: 1080p 4x, ~81 TFLOP/img incl.
     # tile overlap (see BASELINE.md), 33.2 out-MP/img
