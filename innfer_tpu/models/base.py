@@ -51,6 +51,10 @@ class ModelDef:
     # preferred tile-dimension multiple for the tiling planner (e.g. 64 so
     # the fused Pallas RDB can pick >=64 kernel blocks); 1 = no preference
     tile_quantum: int = 1
+    # True when the model REQUIRES quantum-aligned tiles (explicit
+    # backend='pallas' opt-in): the planner must not fall back to the fine
+    # grid on cost grounds, or the kernel gate would reject the tiles
+    tile_quantum_strict: bool = False
 
 
 def _matches(patterns: Sequence[str], key: str) -> bool:

@@ -46,10 +46,11 @@ def _rb32_pallas_ok(x) -> bool:
 
 def _res_block_32(params, x, prefix: str, backend: str = "auto"):
     if backend == "pallas":
-        # Fused whole-block kernel (ops/pallas/resblock32).  Opt-in:
-        # measured +11% over XLA at (64,128) blocks — the block's 32-channel
-        # conv outputs pad 4x on the 128-lane MXU in-kernel too, so unlike
-        # the RDB kernel the gain rarely covers the tile-quantum roundup.
+        # Fused whole-block kernel (ops/pallas/resblock32).  EXPERIMENTAL
+        # opt-in: numerically exact, but the remote Mosaic compiler
+        # currently rejects real PPON widths (nf=64) — see the kernel's
+        # STATUS header.  At reduced widths it measured only +11% over XLA
+        # (32-channel outputs pad 4x on the 128-lane MXU in-kernel too).
         if not _rb32_pallas_ok(x):
             raise ValueError(
                 "ppon backend='pallas' requires the TPU backend and tile "
@@ -140,6 +141,9 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
 
     return ModelDef(
         name="ppon", cfg=dict(cfg), apply=apply, scale=upscale, output_index=2,
-        # fused-kernel opt-in needs planner cooperation (64-multiple dims)
+        # fused-kernel opt-in needs planner cooperation (64-multiple dims);
+        # strict: an explicit opt-in must never get cost-guard fine tiles
+        # the kernel gate would then reject
         tile_quantum=64 if backend == "pallas" else 1,
+        tile_quantum_strict=backend == "pallas",
     )

@@ -277,6 +277,7 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         apply=apply,
         scale=upscale,
         tile_quantum=quantum,
+        tile_quantum_strict=backend == "pallas",
     )
 
 

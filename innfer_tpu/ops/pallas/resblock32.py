@@ -1,8 +1,19 @@
-"""Fused PPON _ResBlock_32 Pallas TPU kernel.
+"""Fused PPON _ResBlock_32 Pallas TPU kernel (EXPERIMENTAL).
+
+STATUS (round 2): numerically exact vs XLA in interpret mode (all tests),
+but the tunneled remote Mosaic compiler currently REJECTS the kernel at
+real PPON widths (nf=64: the per-rate 9*64-column shifted concats at halo
+9 exceed what it will schedule) for every block size tried; it compiles
+and runs on-chip only for reduced widths (nf<=32), where it measured
+13.3 vs XLA's 12.0 TF/s.  PPON therefore ships on the XLA path and the
+backend='pallas' opt-in is for experimentation; BASELINE.md documents
+PPON's remaining gap as an architecture-shape floor (32-channel conv
+outputs pad 4x on the 128-lane MXU in-kernel too, so even a working
+compile would win little).
 
 The PPON trunk is 28 RRBlocks x 3 ResBlock_32 = 84 blocks of 10 small convs
-each (reference PPON_arch.py:78-116): c1 (nf->gc 3x3), eight PARALLEL
-dilated 3x3 convs d1..d8 (gc->gc, rates 1..8) over lrelu(c1(x)), cascading
+each (reference PPON_arch.py:78-116): c1 (nf->nf 3x3), eight PARALLEL
+dilated 3x3 convs d1..d8 (nf->nf/2, rates 1..8) over lrelu(c1(x)), cascading
 prefix sums, channel concat, lrelu, a 1x1 fuse (8*gc->nf) and a 0.2
 residual.  On XLA every one of those ops round-trips HBM (~3 KB/px per
 block measured), which pins PPON at ~30% of the conv floor — the worst
@@ -31,6 +42,7 @@ import functools
 from typing import List, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -53,7 +65,7 @@ def _resblock_kernel(
     xp_hbm, c1w, d1w, d2w, d3w, d4w, d5w, d6w, d7w, d8w, c2w,
     c1b, dbias, c2b, _out_buf, out_ref,
     x_vm, out_vm, sem, sem_out,
-    *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int,
+    *, nf: int, mc: int, gc: int, bh: int, bw: int, t_h: int, t_w: int,
     neg_slope: float,
 ):
     by = pl.program_id(1)
@@ -78,29 +90,29 @@ def _resblock_kernel(
         a = jnp.where(valid, a, 0.0)
         return _canon(a, pp).astype(xf.dtype)
 
-    def nine_taps(src, r):
-        """(pp, 9*C) shifted concat for a dilation-r 3x3 window."""
+    def packed_conv(src, w_ref, c_in, r):
+        """Dilation-r 3x3 conv as K-packed matmuls over the flat canvas.
+        Wide sources (9*c_in over the ~320-column live-concat budget) split
+        the dot per dy row, like rdb.py's source_contrib."""
         trio = jnp.concatenate(
             [_shift_rows(src, -r), src, _shift_rows(src, r)], axis=1
         )
-        return jnp.concatenate(
+        w = w_ref[:]
+        if 9 * c_in > 320:
+            acc = jnp.dot(_shift_rows(trio, -r * wp), w[: 3 * c_in],
+                          preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(trio, w[3 * c_in: 6 * c_in],
+                                preferred_element_type=jnp.float32)
+            return acc + jnp.dot(_shift_rows(trio, r * wp), w[6 * c_in:],
+                                 preferred_element_type=jnp.float32)
+        nine = jnp.concatenate(
             [_shift_rows(trio, -r * wp), trio, _shift_rows(trio, r * wp)],
             axis=1,
         )
+        return jnp.dot(nine, w, preferred_element_type=jnp.float32)
 
-    # c1: nf -> gc, rate 1.  9*nf can exceed the live-concat budget; split
-    # the dot per dy row like rdb.py does for wide sources.
-    trio = jnp.concatenate(
-        [_shift_rows(xf, -1), xf, _shift_rows(xf, 1)], axis=1
-    )
-    w = c1w[:]
-    pre = jnp.dot(_shift_rows(trio, -wp), w[: 3 * nf],
-                  preferred_element_type=jnp.float32)
-    pre = pre + jnp.dot(trio, w[3 * nf: 6 * nf],
-                        preferred_element_type=jnp.float32)
-    pre = pre + jnp.dot(_shift_rows(trio, wp), w[6 * nf:],
-                        preferred_element_type=jnp.float32)
-    h = act_mask(pre + c1b[:])
+    # c1: nf -> mc, rate 1 (real PPON keeps mc == nf == 64, PPON_arch.py)
+    h = act_mask(packed_conv(xf, c1w, nf, 1) + c1b[:])
 
     d_ws = (d1w, d2w, d3w, d4w, d5w, d6w, d7w, d8w)
     dbias_v = dbias[:]   # full ref read; only VALUES get lane-sliced below
@@ -108,8 +120,7 @@ def _resblock_kernel(
     s = None
     out2 = None
     for r in range(1, 9):
-        d = jnp.dot(nine_taps(h, r), d_ws[r - 1][:],
-                    preferred_element_type=jnp.float32)
+        d = packed_conv(h, d_ws[r - 1], mc, r)
         d = d + dbias_v[:, (r - 1) * gc: r * gc]
         s = d if s is None else s + d
         a = act_mask(s)
@@ -145,13 +156,15 @@ def fused_resblock32(
 ) -> jax.Array:
     """One fused _ResBlock_32 forward.
 
-    x: (B, th, tw, nf); c1_w HWIO (3,3,nf,gc); d_ws[r] HWIO (3,3,gc,gc)
-    for rates 1..8; c2_w (1,1,8*gc,nf) or (8*gc,nf).  Returns
-    x + 0.2 * fuse(cascade) with reference PPON_arch.py:78-116 semantics.
+    x: (B, th, tw, nf); c1_w HWIO (3,3,nf,mc); d_ws[r] HWIO (3,3,mc,gc)
+    for rates 1..8 (real PPON: nf=mc=64, gc=32, PPON_arch.py:78-116);
+    c2_w (1,1,8*gc,nf) or (8*gc,nf).  Returns x + 0.2 * fuse(cascade).
     """
     b, th, tw, nf = x.shape
-    gc = int(c1_w.shape[-1])
+    mc = int(c1_w.shape[-1])          # c1 output / d-conv input channels
+    gc = int(d_ws[0].shape[-1])       # per-rate d-conv output channels
     assert len(d_ws) == 8 and len(d_bs) == 8
+    assert int(np.prod(c2_w.shape[:-1])) == 8 * gc, (c2_w.shape, gc)
     bh, bw = _pick_block(th, block[0]), _pick_block(tw, block[1])
     hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
     assert wp % 16 == 0, (
@@ -166,7 +179,7 @@ def fused_resblock32(
     )
     grid = (b, th // bh, tw // bw)
     kernel = functools.partial(
-        _resblock_kernel, nf=nf, gc=gc, bh=bh, bw=bw, t_h=th, t_w=tw,
+        _resblock_kernel, nf=nf, mc=mc, gc=gc, bh=bh, bw=bw, t_h=th, t_w=tw,
         neg_slope=neg_slope,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)

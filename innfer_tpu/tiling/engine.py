@@ -159,6 +159,7 @@ class TiledRunner:
         compute_dtype=None,
         max_group_px: int = 1_400_000,
         tile_quantum: int = 1,
+        tile_quantum_strict: bool = False,
     ):
         self.apply_fn = apply_fn
         self.scale = scale
@@ -171,6 +172,7 @@ class TiledRunner:
         self.bucket = bucket
         self.max_group_px = max_group_px
         self.tile_quantum = tile_quantum
+        self.tile_quantum_strict = tile_quantum_strict
         self.output_index = output_index
         self.mesh = mesh
         self.compute_dtype = compute_dtype
@@ -184,6 +186,10 @@ class TiledRunner:
         extra pixels for zero kernel gain."""
         if self.tile_quantum <= 1:
             return 1
+        if self.tile_quantum_strict:
+            # explicit kernel opt-in: the forward WILL call the kernel, so
+            # the tiles must be compatible regardless of cost or dtype
+            return self.tile_quantum
         dt = self.compute_dtype or run_dtype
         if dt is not None and jnp.dtype(dt) != jnp.dtype(jnp.bfloat16):
             return 1
@@ -203,6 +209,7 @@ class TiledRunner:
                     tile_batch=self.tile_batch,
                     max_group_px=self.max_group_px,
                     align=max(8, quantum),
+                    align_strict=self.tile_quantum_strict,
                     fixed_chunk=self.mesh is not None,
                 )
             else:

@@ -146,7 +146,7 @@ def make_uniform_plan(
 def make_auto_plan(
     h: int, w: int, scale: int, *, overlap: int = 16, tile_batch: int = 8,
     max_group_px: int = 1_400_000, min_tile: int = 64, align: int = 8,
-    fixed_chunk: bool = False,
+    fixed_chunk: bool = False, align_strict: bool = False,
 ) -> TilePlan:
     """Grid-fit planner: choose a (possibly rectangular) tile size per image
     so the grid covers H x W with minimal total processed pixels.
@@ -207,7 +207,7 @@ def make_auto_plan(
                     best = (cost, nh, th, nw, tw)
         return best
 
-    if align >= 64:
+    if align >= 64 and not align_strict:
         # the coarse (fused-kernel quantum) grid only pays off when its
         # extra processed pixels stay under the kernel's measured ~15-17%
         # gain over the XLA path AND the chosen dims are actually in the
@@ -226,6 +226,8 @@ def make_auto_plan(
                 best = fine
     else:
         best = search(align)
+    if best is None and align_strict:
+        best = search(8)
     if best is None:
         # degenerate (huge overlap / tiny cap): fall back to uniform
         return make_uniform_plan(h, w, scale, tile=min_tile * 2,

@@ -15,11 +15,12 @@ def rng():
 
 
 def _make(rng, nf, gc):
-    c1_w = jnp.asarray(rng.standard_normal((3, 3, nf, gc)).astype(np.float32)
+    # real PPON ratios (PPON_arch.py:78-91): c1 nf->nf, d_r nf->gc=nf/2
+    c1_w = jnp.asarray(rng.standard_normal((3, 3, nf, nf)).astype(np.float32)
                        / np.sqrt(9 * nf))
-    c1_b = jnp.asarray(rng.standard_normal(gc).astype(np.float32) * 0.02)
-    d_ws = [jnp.asarray(rng.standard_normal((3, 3, gc, gc)).astype(np.float32)
-                        / np.sqrt(9 * gc)) for _ in range(8)]
+    c1_b = jnp.asarray(rng.standard_normal(nf).astype(np.float32) * 0.02)
+    d_ws = [jnp.asarray(rng.standard_normal((3, 3, nf, gc)).astype(np.float32)
+                        / np.sqrt(9 * nf)) for _ in range(8)]
     d_bs = [jnp.asarray(rng.standard_normal(gc).astype(np.float32) * 0.02)
             for _ in range(8)]
     c2_w = jnp.asarray(rng.standard_normal((1, 1, 8 * gc, nf)).astype(np.float32)
