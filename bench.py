@@ -82,7 +82,8 @@ def main():
             overlap=args.overlap, tile_batch=args.tile_batch,
             output_index=model.output_index, compute_dtype=dtype,
             max_group_px=args.max_group_px,
-            tile_quantum=model.tile_quantum, **kw)
+            tile_quantum=model.tile_quantum,
+            tile_quantum_strict=model.tile_quantum_strict, **kw)
         x = jnp.asarray(rng.random((1, h, w, 3), np.float32), dtype)
         return lambda: runner(params, x), h * w * model.scale ** 2 / 1e6
 

@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "forwards.")
     p.add_argument("--tile-batch", type=int, default=8, help="Tiles per compiled step.")
     p.add_argument("--bucket", type=int, default=0, help="Pad compile shapes to multiples.")
+    p.add_argument("--no-fused-chain", action="store_true",
+                   help="Run model chains stage-by-stage (materializing "
+                   "each intermediate image) instead of the default fused "
+                   "tile-through-chain execution.")
     p.add_argument("--profile", type=str, default="",
                    help="Write a jax.profiler trace to this directory.")
     p.add_argument("--timing", action="store_true",
@@ -132,6 +136,7 @@ def main(argv=None) -> int:
         scale=args.scale,
         mesh=mesh,
         spatial=args.spatial,
+        fused_chain=False if args.no_fused_chain else None,
     )
 
     from innfer_tpu.observability import StageTimers, profile_trace

@@ -83,11 +83,14 @@ def collapse_upconv_weight(w: jax.Array, b, factor: int):
         for t, dp in enumerate((-1, 0, 1)):
             p = -1 if a + dp < 0 else (1 if a + dp >= r else 0)
             sel[a, p + 1, t] = 1.0
-    s = jnp.asarray(sel, w.dtype)
+    # pre-sum taps in fp32: with bf16 params the per-phase sums would
+    # round to bf16 BEFORE the conv, an extra rounding step the HR form
+    # doesn't have; one final cast keeps the collapse exact to 1 rounding
+    s = jnp.asarray(sel, jnp.float32)
     # (p,q,i,o,a,b) -> reshape collapses (o,a,b) into o*r^2 + a*r + b,
     # exactly PixelShuffle's channel order
-    w2 = jnp.einsum("apd,bqe,deio->pqioab", s, s, w)
-    w2 = w2.reshape(3, 3, cin, cout * r * r)
+    w2 = jnp.einsum("apd,bqe,deio->pqioab", s, s, w.astype(jnp.float32))
+    w2 = w2.reshape(3, 3, cin, cout * r * r).astype(w.dtype)
     b2 = None if b is None else jnp.repeat(b, r * r)
     return w2, b2
 

@@ -303,6 +303,14 @@ def _build_3d(cfg, *, nb, nr, act_type, plus, up_mode, norm_type, upscale,
             "(block.py:112-132) which crash on 5D inputs")
     if up_mode != "upconv":
         raise NotImplementedError("evsrgan supports upconv upsampling only")
+    if act_type not in ("relu", "leakyrelu", "lrelu", "tanh", "sigmoid"):
+        # parameterized acts (prelu weight, swish beta) need per-module
+        # param plumbing that the 3D path's bare F.act calls don't have;
+        # reject at build time instead of KeyError mid-trace (mirrors the
+        # scatter-backend check in _rrdb)
+        raise NotImplementedError(
+            f"evsrgan act {act_type!r}: only parameter-free activations "
+            "are supported on the Conv3D path")
 
     from innfer_tpu.nn import resize as R
 

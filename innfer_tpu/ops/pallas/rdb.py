@@ -103,26 +103,18 @@ def _tile_valid_mask(by, bx, *, bh, bw, wp, pp, t_h, t_w, halo):
     )
 
 
-def _rdb_kernel(
-    xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, _out_buf, out_ref,
-    x_vm, out_vm, sem, sem_out,
+def _rdb_compute(
+    x_vm_slot, by, bx, wt0, wt1, wt2, wt3, wt4, bias, w1x1,
     *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
-    neg_slope: float, acc_dtype,
+    neg_slope: float,
 ):
-    by = pl.program_id(1)
-    bx = pl.program_id(2)
+    """The conv-chain body shared by the serial and pipelined drivers:
+    VMEM canvas in, (bh, bw, LANE) block value out."""
     hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
     pp = hp * wp
     n_total = 4 * gc + nf
 
-    cp = pltpu.make_async_copy(
-        xp_hbm.at[pl.program_id(0), pl.ds(by * bh, hp), pl.ds(bx * bw, wp), :],
-        x_vm, sem,
-    )
-    cp.start()
-    cp.wait()
-
-    xf = x_vm[:].reshape(pp, LANE)[:, :nf]  # drop the lane padding
+    xf = x_vm_slot[:].reshape(pp, LANE)[:, :nf]  # drop the lane padding
 
     valid = _tile_valid_mask(by, bx, bh=bh, bw=bw, wp=wp, pp=pp,
                              t_h=t_h, t_w=t_w, halo=HALO)
@@ -186,7 +178,32 @@ def _rdb_kernel(
         [out, jnp.zeros((pp, LANE - nf), out.dtype)], axis=1
     )
     out3 = out.reshape(hp, wp, LANE)
-    out_vm[:] = out3[HALO: HALO + bh, HALO: HALO + bw, :]
+    return out3[HALO: HALO + bh, HALO: HALO + bw, :]
+
+
+def _rdb_kernel(
+    xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, _out_buf, out_ref,
+    x_vm, out_vm, sem, sem_out,
+    *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
+    neg_slope: float, acc_dtype,
+):
+    """Serial driver: blocking DMA in -> compute -> blocking DMA out."""
+    by = pl.program_id(1)
+    bx = pl.program_id(2)
+    hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
+
+    cp = pltpu.make_async_copy(
+        xp_hbm.at[pl.program_id(0), pl.ds(by * bh, hp), pl.ds(bx * bw, wp), :],
+        x_vm, sem,
+    )
+    cp.start()
+    cp.wait()
+
+    out_vm[:] = _rdb_compute(
+        x_vm, by, bx, wt0, wt1, wt2, wt3, wt4, bias, w1x1,
+        nf=nf, gc=gc, bh=bh, bw=bw, t_h=t_h, t_w=t_w, plus=plus,
+        neg_slope=neg_slope,
+    )
     cpo = pltpu.make_async_copy(
         out_vm,
         out_ref.at[pl.program_id(0), pl.ds(by * bh, bh), pl.ds(bx * bw, bw), :],
@@ -194,6 +211,86 @@ def _rdb_kernel(
     )
     cpo.start()
     cpo.wait()
+
+
+def _rdb_kernel_pipelined(
+    xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, _out_buf, out_ref,
+    x_vm, out_vm, sem_in, sem_out,
+    *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
+    neg_slope: float, acc_dtype, nby: int, nbx: int, total: int,
+):
+    """Double-buffered driver: the input DMA for block i+1 and the output
+    DMA for block i both run while block i+1's neighbors compute, hiding
+    the HBM round-trip behind the matmuls (the serial driver spends ~25%
+    of block time in blocking DMA waits).
+
+    Scratch carries 2 slots; grid steps alternate.  Each in-copy is started
+    one step early (prologue starts block 0), each out-copy is awaited two
+    steps later just before its slot is rewritten (epilogue drains the last
+    two).  Pallas TPU guarantees sequential grid iteration on one core and
+    scratch/semaphore persistence across iterations, which is what makes
+    this bookkeeping sound.
+    """
+    hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
+    per_img = nby * nbx
+    pb, by, bx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    i = (pb * nby + by) * nbx + bx
+    slot = jax.lax.rem(i, 2)
+
+    def in_copy(j, slot_j):
+        pbj = jax.lax.div(j, per_img)
+        rj = jax.lax.rem(j, per_img)
+        byj = jax.lax.div(rj, nbx)
+        bxj = jax.lax.rem(rj, nbx)
+        return pltpu.make_async_copy(
+            xp_hbm.at[pbj, pl.ds(byj * bh, hp), pl.ds(bxj * bw, wp), :],
+            x_vm.at[slot_j], sem_in.at[slot_j],
+        )
+
+    def out_copy(j, slot_j):
+        pbj = jax.lax.div(j, per_img)
+        rj = jax.lax.rem(j, per_img)
+        byj = jax.lax.div(rj, nbx)
+        bxj = jax.lax.rem(rj, nbx)
+        return pltpu.make_async_copy(
+            out_vm.at[slot_j],
+            out_ref.at[pbj, pl.ds(byj * bh, bh), pl.ds(bxj * bw, bw), :],
+            sem_out.at[slot_j],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        in_copy(i, slot).start()
+
+    @pl.when(i + 1 < total)
+    def _():
+        in_copy(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    in_copy(i, slot).wait()
+
+    blk = _rdb_compute(
+        x_vm.at[slot], by, bx, wt0, wt1, wt2, wt3, wt4, bias, w1x1,
+        nf=nf, gc=gc, bh=bh, bw=bw, t_h=t_h, t_w=t_w, plus=plus,
+        neg_slope=neg_slope,
+    )
+
+    @pl.when(i >= 2)
+    def _():
+        # the DMA launched two steps ago from this slot must land before
+        # the slot is rewritten
+        out_copy(i - 2, slot).wait()
+
+    out_vm[slot] = blk
+    out_copy(i, slot).start()
+
+    @pl.when(i == total - 1)
+    def _():
+        out_copy(i, slot).wait()
+
+    if total >= 2:
+        @pl.when(i == total - 1)
+        def _():
+            out_copy(i - 1, jax.lax.rem(i - 1, 2)).wait()
 
 
 def _pick_block(tdim: int, pref: int) -> int:
@@ -229,6 +326,7 @@ def fused_rdb(
     acc_dtype=jnp.float32,
     neg_slope: float = 0.2,
     interpret: bool = False,
+    pipelined: bool = True,
 ) -> jax.Array:
     """One fused ResidualDenseBlock_5C forward.
 
@@ -257,11 +355,21 @@ def fused_rdb(
         [(0, 0), (HALO, HALO), (HALO, HALO + W_SLACK), (0, LANE - nf)],
     )
 
-    grid = (b, th // bh, tw // bw)
-    kernel = functools.partial(
-        _rdb_kernel, nf=nf, gc=gc, bh=bh, bw=bw, t_h=th, t_w=tw, plus=plus,
-        neg_slope=neg_slope, acc_dtype=acc_dtype,
-    )
+    nby, nbx = th // bh, tw // bw
+    grid = (b, nby, nbx)
+    if pipelined and not interpret:
+        kernel = functools.partial(
+            _rdb_kernel_pipelined, nf=nf, gc=gc, bh=bh, bw=bw, t_h=th,
+            t_w=tw, plus=plus, neg_slope=neg_slope, acc_dtype=acc_dtype,
+            nby=nby, nbx=nbx, total=b * nby * nbx,
+        )
+        nslots = 2
+    else:
+        kernel = functools.partial(
+            _rdb_kernel, nf=nf, gc=gc, bh=bh, bw=bw, t_h=th, t_w=tw,
+            plus=plus, neg_slope=neg_slope, acc_dtype=acc_dtype,
+        )
+        nslots = 0
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -285,12 +393,21 @@ def fused_rdb(
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((b, th, tw, LANE), x.dtype),
         input_output_aliases={8: 0},
-        scratch_shapes=[
-            pltpu.VMEM((hp, wp, LANE), x.dtype),
-            pltpu.VMEM((bh, bw, LANE), x.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((nslots, hp, wp, LANE), x.dtype),
+                pltpu.VMEM((nslots, bh, bw, LANE), x.dtype),
+                pltpu.SemaphoreType.DMA((nslots,)),
+                pltpu.SemaphoreType.DMA((nslots,)),
+            ]
+            if nslots
+            else [
+                pltpu.VMEM((hp, wp, LANE), x.dtype),
+                pltpu.VMEM((bh, bw, LANE), x.dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ]
+        ),
         compiler_params=pltpu.CompilerParams(
             # the backend's default VMEM budget is far below the chip's
             # physical VMEM; without this, outputs+values "OOM" spuriously

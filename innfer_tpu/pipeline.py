@@ -67,6 +67,14 @@ class Presets:
     arch: str = "infer"
 
 
+def _has_tf_token(s: str) -> bool:
+    """True when 'tf' appears as a delimited token ('wbc_tf', 'tf-cartoon',
+    '4x.tf.pth') rather than as letters inside a word ('artframe')."""
+    import re
+
+    return bool(re.search(r"(?:^|[^0-9a-zA-Z])tf(?:[^0-9a-zA-Z]|$)", s))
+
+
 def select_presets(arch: str, models_arg: str = "", norm_flag: bool = False) -> Presets:
     """Arch-family preset selection (run.py:347-379)."""
     p = Presets(arch=arch)
@@ -85,7 +93,11 @@ def select_presets(arch: str, models_arg: str = "", norm_flag: bool = False) -> 
             CYCLEGAN_EXTRAS["meval"], CYCLEGAN_EXTRAS["strict"], CYCLEGAN_EXTRAS["normalize"])
         p.chop = True
     elif "wbc" in arch or "wbc" in models_arg:
-        p.arch = "wbcunet_tf" if ("tf" in arch or "tf" in models_arg) else "wbcunet"
+        # the reference sniffs a bare substring ("tf" in models_arg,
+        # run.py:362-371), which false-positives on any model name merely
+        # containing the letters (e.g. "artframe.pth").  Match tf only as
+        # a delimited token of the arch or model names.
+        p.arch = "wbcunet_tf" if (_has_tf_token(arch) or _has_tf_token(models_arg)) else "wbcunet"
         p.meval, p.strict, p.normalize = (
             PIX2PIX_EXTRAS["meval"], PIX2PIX_EXTRAS["strict"], PIX2PIX_EXTRAS["normalize"])
         p.chop = False
@@ -194,12 +206,32 @@ _WHOLE_IMAGE_HBM_BUDGET = 8 * 1024 ** 3
 
 
 def _whole_forward_bytes(model: ModelDef, x: jax.Array) -> int:
-    """Rough peak-activation estimate for an untiled forward: a few live
-    output-resolution feature maps in fp32 (the upsample tail dominates,
-    e.g. SRResNet pixelshuffle at 4320p; bench.py srresnet notes)."""
+    """Per-architecture peak-activation estimate for an untiled forward.
+
+    SR families are dominated by the upsample tail (a few nf-wide fp32
+    maps at output resolution, e.g. SRResNet pixelshuffle at 4320p;
+    bench.py srresnet notes) plus the dense-concat live width at LR.
+    Image-to-image families (scale 1) peak at input resolution: UNet's
+    ngf*8 bottleneck sits at 1/64 spatial so the outermost skip concat
+    (2*ngf at full res) dominates instead; CycleGAN holds ngf maps at
+    full res plus reflect-pad copies."""
     px = x.shape[0] * x.shape[1] * x.shape[2]
-    nf = int(model.cfg.get("nf", model.cfg.get("ngf", 64)))
-    return px * model.scale ** 2 * nf * 4 * 3
+    cfg = model.cfg
+    kind = str(cfg.get("type", ""))
+    nf = int(cfg.get("nf", cfg.get("ngf", 64)))
+    if kind == "unet_net":
+        ngf = int(cfg.get("ngf", 64))
+        # outermost up: concat(down0 skip, up1 out) = 2*ngf at full res,
+        # ~3 such maps live (deconv input, concat, conv workspace)
+        return px * ngf * 2 * 4 * 3
+    if kind == "resnet_net":
+        ngf = int(cfg.get("ngf", 64))
+        return px * ngf * 4 * 4
+    if kind == "wbcunet_net":
+        return px * nf * 4 * 4
+    gc = int(cfg.get("gc", 0) or 0)
+    lr_width = nf + 4 * gc if gc else nf
+    return px * lr_width * 4 * 2 + px * model.scale ** 2 * nf * 4 * 3
 
 
 @dataclass
@@ -224,7 +256,8 @@ class Stage:
             # whose numerics DEPEND on whole-image extent (train-mode batch
             # norm computes batch statistics) must not silently switch to
             # per-tile statistics — fail loudly instead.
-            if not self.model.cfg.get("meval", True):
+            has_stat_norm = self.model.cfg.get("norm_type") not in (None, "none")
+            if not self.model.cfg.get("meval", True) and has_stat_norm:
                 raise ValueError(
                     f"whole-image forward of {x.shape[1]}x{x.shape[2]} would "
                     f"need ~{_whole_forward_bytes(self.model, x) / 1024**3:.1f}"
@@ -245,6 +278,7 @@ class Stage:
                     self.model.apply, self.model.scale, mode="auto",
                     output_index=self.model.output_index,
                     tile_quantum=self.model.tile_quantum,
+                    tile_quantum_strict=self.model.tile_quantum_strict,
                     mesh=self.mesh,
                     compute_dtype=x.dtype)
             return self._fallback(self.params, x)
@@ -282,6 +316,7 @@ class InferenceSession:
         mesh=None,
         scale: Optional[int] = None,
         spatial: bool = False,
+        fused_chain: Optional[bool] = None,
     ):
         self.presets = presets or select_presets(arch, models_arg)
         self.compute_dtype = compute_dtype
@@ -350,8 +385,36 @@ class InferenceSession:
                     output_index=model.output_index, mesh=mesh,
                     compute_dtype=compute_dtype,
                     tile_quantum=model.tile_quantum,
+                    tile_quantum_strict=model.tile_quantum_strict,
                 )
             self.stages.append(Stage(model, params, chop, runner, mesh=mesh))
+
+        # Chains default to tile-through-chain execution (one tile pass
+        # runs every stage; the intermediate image is never materialized —
+        # the reference loop at run.py:425-429 materializes every stage's
+        # full output instead).  Per-stage guided filtering (wbc) and
+        # spatial mode keep the sequential path.
+        self._fused_runner = None
+        if fused_chain is None:
+            fused_chain = (
+                len(self.stages) > 1
+                and self.presets.chop
+                and not self.presets.use_guided_filter
+                and not spatial
+            )
+        if fused_chain and len(self.stages) > 1:
+            if self.presets.use_guided_filter:
+                raise ValueError(
+                    "fused_chain cannot apply the per-stage guided filter "
+                    "(wbc preset); use fused_chain=False")
+            # cap the input tile so the final-scale tile stays bounded: a
+            # 4x+4x chain at tile 256 would make 4096^2-pixel SR tiles
+            fused_tile = min(tile, max(64, 1024 // max(self.total_scale, 1)))
+            self._fused_runner = self.build_fused_chain(
+                tile=fused_tile, overlap=min(overlap, fused_tile // 4),
+                tile_batch=tile_batch, mesh=mesh,
+                mode=tile_mode,
+            )
 
     @property
     def total_scale(self) -> int:
@@ -391,6 +454,8 @@ class InferenceSession:
             overlap=overlap, tile_batch=tile_batch, mesh=mesh,
             compute_dtype=self.compute_dtype,
             tile_quantum=max(st.model.tile_quantum for st in stages),
+            tile_quantum_strict=any(
+                st.model.tile_quantum_strict for st in stages),
         )
 
     def prepare(self, img: np.ndarray) -> np.ndarray:
@@ -406,11 +471,14 @@ class InferenceSession:
             img = self.prepare(img)
         t_img = np2tensor(img, normalize=self.presets.normalize,
                           dtype=self.compute_dtype)
-        t_out = t_img
-        for stage in self.stages:
-            t_out = stage(t_out)
-            if self.presets.use_guided_filter:
-                t_out = guided_filter(t_img, t_out, r=1, eps=5e-3)
+        if self._fused_runner is not None:
+            t_out = self._fused_runner(None, t_img)
+        else:
+            t_out = t_img
+            for stage in self.stages:
+                t_out = stage(t_out)
+                if self.presets.use_guided_filter:
+                    t_out = guided_filter(t_img, t_out, r=1, eps=5e-3)
         return tensor2np(t_out, denormalize=self.presets.normalize)
 
     def process(
