@@ -7,11 +7,12 @@ boundary row with its mesh neighbors over ICI (``ppermute``) and convolves
 its local slab, so a single image too large to tile-batch can flow through
 the full network without any host-side splitting.
 
-Supported architecture: the flagship RRDBNet family (ESRGAN / ESRGAN+ /
-lite) in its default inference configuration — CNA conv blocks, no norm
-layers, non-parameterized activations, upconv or pixelshuffle upsampling
-(reference RRDBNet_arch.py:16-62).  Other configs fall back to the tiled
-engine.
+Supported architectures: the flagship RRDBNet family (ESRGAN / ESRGAN+ /
+lite, reference RRDBNet_arch.py:16-62) and SRResNet (same flattened macro
+skeleton, SRResNet_arch.py:44-91) in their default inference
+configurations — CNA conv blocks, no norm layers, non-parameterized
+activations, upconv or pixelshuffle upsampling.  Other configs fall back
+to the tiled engine.
 
 Design notes (TPU):
   * one ``shard_map`` spans the entire forward — weights are broadcast
@@ -42,11 +43,12 @@ from innfer_tpu.parallel.spatial import _exchange_halo
 
 def spatial_supported(cfg: Dict[str, Any]) -> bool:
     """True if this config can run the spatially-sharded forward."""
+    default_act = "relu" if cfg.get("type") == "sr_resnet" else "leakyrelu"
     return (
-        cfg.get("type") in ("rrdb_net", "mrrdb_net")
+        cfg.get("type") in ("rrdb_net", "mrrdb_net", "sr_resnet")
         and cfg.get("norm_type") in (None, "none")
         and (cfg.get("mode") or "CNA").upper() in ("CNA", "CNAC")
-        and cfg.get("act_type", "leakyrelu") in
+        and cfg.get("act_type", default_act) in
         ("relu", "leakyrelu", "lrelu", "tanh", "sigmoid")
         # parameterized final activations (prelu/swish) would need act-key
         # plumbing this forward does not have — reject here, not mid-trace
@@ -80,23 +82,37 @@ def _rdb5c_h(params, x, prefix, *, act_type, plus, axis):
     return x5 * jnp.asarray(0.2, x.dtype) + x
 
 
+def _resnet_block_h(params, x, prefix, *, act_type, res_scale, axis):
+    """SRResNet trunk block (SRResNet_arch.py:61-91), halo-exchange convs.
+    Default-config key layout: conv0 at res.0 (CNA [conv, act]), conv1 at
+    res.2 (act cleared)."""
+    h = F.act(act_type, _conv3x3h(params, x, f"{prefix}.res.0", axis))
+    h = _conv3x3h(params, h, f"{prefix}.res.2", axis)
+    return x + h * jnp.asarray(res_scale, x.dtype)
+
+
 def build_spatial_apply(cfg: Dict[str, Any], mesh: Mesh, axis: str = "data"):
-    """Return ``apply(params, x)`` running the full RRDB forward H-sharded.
+    """Return ``apply(params, x)`` running the full RRDB-family or SRResNet
+    forward H-sharded.
 
     ``x`` is (N, H, W, C) with H divisible by the mesh axis size.  The
-    result is bit-comparable to the unsharded ``rrdb.build(cfg).apply``.
+    result is bit-comparable to the unsharded ``build(cfg).apply``.
     """
     if not spatial_supported(cfg):
         raise NotImplementedError(
-            "spatial sharding supports the default RRDB inference configs "
-            f"only (got {cfg.get('type')}, norm={cfg.get('norm_type')}, "
+            "spatial sharding supports the default RRDB/SRResNet inference "
+            f"configs only (got {cfg.get('type')}, norm={cfg.get('norm_type')}, "
             f"act={cfg.get('act_type')})")
+    kind = cfg.get("type")
     nb = cfg["nb"]
     nr = cfg.get("nr", 3)
     upscale = int(cfg.get("upscale", 4))
-    act_type = cfg.get("act_type", "leakyrelu")
+    act_type = cfg.get("act_type",
+                       "relu" if kind == "sr_resnet" else "leakyrelu")
     plus = bool(cfg.get("plus", False))
-    up_mode = cfg.get("upsample_mode", "upconv")
+    res_scale = float(cfg.get("res_scale", 1))
+    up_mode = cfg.get("upsample_mode",
+                      "pixelshuffle" if kind == "sr_resnet" else "upconv")
     finalact = cfg.get("finalact")
     outm = cfg.get("outm")
     _n_up, factor = C.n_upscale_blocks(upscale)
@@ -104,16 +120,21 @@ def build_spatial_apply(cfg: Dict[str, Any], mesh: Mesh, axis: str = "data"):
     names = (("RDB1", "RDB2", "RDB3") if nr == 3
              else tuple(f"RDBs.{i}" for i in range(nr)))
 
+    def trunk_block(params, t, prefix):
+        if kind == "sr_resnet":
+            return _resnet_block_h(params, t, prefix, act_type=act_type,
+                                   res_scale=res_scale, axis=axis)
+        out = t
+        for name in names:
+            out = _rdb5c_h(params, out, f"{prefix}.{name}",
+                           act_type=act_type, plus=plus, axis=axis)
+        return out * jnp.asarray(0.2, t.dtype) + t
+
     def local(params, x):
         fea = _conv3x3h(params, x, "model.0", axis)
         t = fea
         for i in range(nb):
-            prefix = f"model.1.sub.{i}"
-            out = t
-            for name in names:
-                out = _rdb5c_h(params, out, f"{prefix}.{name}",
-                               act_type=act_type, plus=plus, axis=axis)
-            t = out * jnp.asarray(0.2, t.dtype) + t
+            t = trunk_block(params, t, f"model.1.sub.{i}")
         t = _conv3x3h(params, t, f"model.1.sub.{nb}", axis)
         h = fea + t
         for ci in up_convs:
