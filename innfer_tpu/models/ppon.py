@@ -46,7 +46,7 @@ def _rb32_pallas_ok(x) -> bool:
 
 def _res_block_32(params, x, prefix: str, backend: str = "auto"):
     if backend == "pallas":
-        # Fused whole-block kernel (ops/pallas/resblock32).  EXPERIMENTAL
+        # Fused whole-block kernel (ops/pallas/contrib/resblock32).  EXPERIMENTAL
         # opt-in: numerically exact, but the remote Mosaic compiler
         # currently rejects real PPON widths (nf=64) — see the kernel's
         # STATUS header.  At reduced widths it measured only +11% over XLA
@@ -57,7 +57,7 @@ def _res_block_32(params, x, prefix: str, backend: str = "auto"):
                 "dims with a 16-multiple kernel-block divisor (64-multiples "
                 f"recommended; ModelDef.tile_quantum asks the planner); got "
                 f"shape {x.shape} on {jax.default_backend()}")
-        from innfer_tpu.ops.pallas.resblock32 import fused_resblock32
+        from innfer_tpu.ops.pallas.contrib.resblock32 import fused_resblock32
 
         zeros = lambda c: jnp.zeros((c,), jnp.float32)
         g = lambda n: params[f"{prefix}.{n}.weight"]

@@ -99,7 +99,7 @@ def test_fused_rdb_bf16_close(rng):
     (64, 32, 64, (32, 32), 16),
 ])
 def test_banded_matches_xla(rng, nf, gc, t, block, band):
-    from innfer_tpu.ops.pallas.rdb_banded import fused_rdb_banded
+    from innfer_tpu.ops.pallas.contrib.rdb_banded import fused_rdb_banded
 
     ws, bs = _make_rdb(rng, nf, gc)
     x = jnp.asarray(rng.standard_normal((2, t, t, nf)).astype(np.float32))
@@ -110,7 +110,7 @@ def test_banded_matches_xla(rng, nf, gc, t, block, band):
 
 
 def test_banded_rejects_indivisible(rng):
-    from innfer_tpu.ops.pallas.rdb_banded import fused_rdb_banded
+    from innfer_tpu.ops.pallas.contrib.rdb_banded import fused_rdb_banded
 
     ws, bs = _make_rdb(rng, 64, 32)
     # 250 > the largest block and not divisible by any block divisor

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from innfer_tpu.ops.pallas.resblock32 import fused_resblock32
+from innfer_tpu.ops.pallas.contrib.resblock32 import fused_resblock32
 
 
 @pytest.fixture
@@ -62,7 +62,7 @@ def test_fused_resblock_matches_xla(rng, nf, gc, th, tw, block):
 def test_ppon_backend_pallas_plumbing(rng, monkeypatch):
     """cfg backend='pallas' routes PPON ResBlocks through the fused kernel
     (forced interpret here so the CPU test exercises the same code path)."""
-    import innfer_tpu.ops.pallas.resblock32 as RB
+    import innfer_tpu.ops.pallas.contrib.resblock32 as RB
     from innfer_tpu.models.ppon import _res_block_32
 
     nf, gc = 16, 8

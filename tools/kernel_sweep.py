@@ -86,10 +86,14 @@ def main():
     configs = [
         ("serial_64", dict(block=(64, 64), pipelined=False), (8, 256, 256)),
         ("pipelined_64", dict(block=(64, 64), pipelined=True), (8, 256, 256)),
-        ("serial_128", dict(block=(128, 128), pipelined=False), (8, 256, 256)),
+        ("pipelined_64x128", dict(block=(64, 128), pipelined=True),
+         (8, 256, 256)),
+        ("pipelined_128x64", dict(block=(128, 64), pipelined=True),
+         (8, 256, 256)),
         ("pipelined_128", dict(block=(128, 128), pipelined=True), (8, 256, 256)),
-        ("pipelined_96", dict(block=(96, 96), pipelined=True), (8, 288, 288)),
         ("pipelined_rect_576x256_64", dict(block=(64, 64), pipelined=True),
+         (8, 576, 256)),
+        ("pipelined_rect_576x256_64x128", dict(block=(64, 128), pipelined=True),
          (8, 576, 256)),
     ]
     for name, kw, (B, H, W) in configs:
