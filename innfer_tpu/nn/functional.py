@@ -145,6 +145,10 @@ def conv_transpose2d(
     if isinstance(output_padding, int):
         output_padding = (output_padding, output_padding)
     kh, kw = w.shape[0], w.shape[1]
+    if (kh, kw) == (4, 4) and stride == (2, 2) and padding == (1, 1) \
+            and output_padding == (0, 0):
+        return _conv_transpose_subpixel_k4s2p1(x, w, b,
+                                               accum_dtype=accum_dtype)
     pads = [
         (kh - 1 - padding[0], kh - 1 - padding[0] + output_padding[0]),
         (kw - 1 - padding[1], kw - 1 - padding[1] + output_padding[1]),
@@ -158,6 +162,49 @@ def conv_transpose2d(
         dimension_numbers=_DIMNUMS_NHWC,
         preferred_element_type=accum_dtype,
     )
+    if b is not None:
+        out = out + b.astype(accum_dtype)
+    return out.astype(x.dtype)
+
+
+def _conv_transpose_subpixel_k4s2p1(
+    x: Array, w: Array, b: Optional[Array], *, accum_dtype=jnp.float32,
+) -> Array:
+    """ConvTranspose2d(k=4, s=2, p=1) as ONE k2x2 conv + pixel shuffle.
+
+    The general path lowers to an input-dilated conv whose 4x4 windows are
+    3/4 zeros; on the TPU conv emitter that wastes MXU work and pads the
+    dilated activation.  Because stride 2 partitions the 16 taps into four
+    2x2 phase kernels (output phase (a, b) only ever reads taps
+    (2dy+a, 2dx+b)), the whole deconv is exactly
+
+        phase (a,b): out[2i+a, 2j+b] = sum_{dy,dx} xp[i+a+dy, j+b+dx]
+                                        * wf[2dy+a, 2dx+b]   (xp = pad(x,1))
+
+    i.e. one VALID k2x2 conv over the padded input with 4*O phase-major
+    output channels, four shifted slices, and a PixelShuffle interleave.
+    FLOPs = 16*I*O per input pixel — the information-theoretic minimum.
+    ``w`` is the converter's flipped HWIO kernel (see conv_transpose2d).
+    """
+    bsz, h, wdt, _ = x.shape
+    cin, cout = w.shape[2], w.shape[3]
+    # wr[dy, a, dx, b, i, o] = w[2dy+a, 2dx+b, i, o]
+    wr = w.reshape(2, 2, 2, 2, cin, cout)
+    # phase-major channels: psi = (a*2+b)*cout + o
+    wk = wr.transpose(0, 2, 4, 1, 3, 5).reshape(2, 2, cin, 4 * cout)
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    co = lax.conv_general_dilated(
+        xp, wk.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=_DIMNUMS_NHWC,
+        preferred_element_type=accum_dtype,
+    )  # (B, h+1, w+1, 4*cout)
+    parts = [
+        co[:, a: a + h, bb: bb + wdt,
+           (2 * a + bb) * cout: (2 * a + bb + 1) * cout]
+        for a in (0, 1) for bb in (0, 1)
+    ]
+    t = jnp.stack(parts, axis=-1).reshape(bsz, h, wdt, cout * 4)
+    out = pixel_shuffle(t, 2)
     if b is not None:
         out = out + b.astype(accum_dtype)
     return out.astype(x.dtype)

@@ -131,17 +131,17 @@ def _rdb_compute(
             [_shift_rows(src, -1), src, _shift_rows(src, 1)], axis=1
         )  # (pp, 3*c_s): [src[j-1], src[j], src[j+1]]
         w = wt_ref[:]
-        if 9 * c_s > 320:
-            acc = jnp.dot(_shift_rows(trio, -wp), w[: 3 * c_s],
-                          preferred_element_type=jnp.float32)
-            acc = acc + jnp.dot(trio, w[3 * c_s: 6 * c_s],
-                                preferred_element_type=jnp.float32)
-            return acc + jnp.dot(_shift_rows(trio, wp), w[6 * c_s:],
-                                 preferred_element_type=jnp.float32)
-        nine = jnp.concatenate(
-            [_shift_rows(trio, -wp), trio, _shift_rows(trio, wp)], axis=1
-        )  # (pp, 9*c_s) in (dy, dx, c) order, matching the weight packing
-        return jnp.dot(nine, w, preferred_element_type=jnp.float32)
+        # One dot per vertical tap instead of materializing the full
+        # (pp, 9*c_s) im2col: the 9-wide concat costs an extra write+read
+        # of ~7 MB/source of VMEM traffic per block, while three K=3*c_s
+        # dots read the shifted trios directly with identical MXU padding
+        # (K=96 and K=288 both pad 4/3 against the 128-lane K tile).
+        acc = jnp.dot(_shift_rows(trio, -wp), w[: 3 * c_s],
+                      preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(trio, w[3 * c_s: 6 * c_s],
+                            preferred_element_type=jnp.float32)
+        return acc + jnp.dot(_shift_rows(trio, wp), w[6 * c_s:],
+                             preferred_element_type=jnp.float32)
 
     def pad_cols(v, col0):
         if col0 == 0:
