@@ -143,35 +143,41 @@ def _rdb_compute(
         return acc + jnp.dot(_shift_rows(trio, wp), w[6 * c_s:],
                              preferred_element_type=jnp.float32)
 
-    def pad_cols(v, col0):
-        if col0 == 0:
-            return v
-        return jnp.concatenate(
-            [jnp.zeros((pp, col0), v.dtype), v], axis=1
-        )
+    def drop_cols(v, k):
+        """Canonical (pp, N-k) value of v[:, k:].  A plain column slice
+        would carry a lane-offset layout that poisons later elementwise
+        adds; one net -k f32 lane-roll materializes offset 0, so the
+        slice below is layout-canonical."""
+        n = v.shape[1]
+        return pltpu.roll(v, n - k, 1)[:, : n - k]
 
     def act(pre):
         a = jnp.where(pre >= 0, pre, pre * neg_slope)
         a = jnp.where(valid, a, 0.0)
         return _canon(a, pp).astype(xf.dtype)
 
-    acc = jnp.broadcast_to(bias[:], (pp, n_total)).astype(jnp.float32)
-    acc = acc + source_contrib(xf, wt0)
-    x1 = act(acc[:, 0:gc])
-    acc = acc + pad_cols(source_contrib(x1, wt1), gc)
-    x2 = act(acc[:, gc: 2 * gc])
+    # Suffix accumulation: R holds the fp32 pre-activation partial sums of
+    # the REMAINING targets only (source s's packed weights produce exactly
+    # those columns), shrinking 192->160->128->96->64.  The earlier
+    # monolithic (pp, n_total) accumulator + zero-pad-concat per stage
+    # moved ~2x the VMEM bytes for the same math.
+    R = jnp.broadcast_to(bias[:], (pp, n_total)).astype(jnp.float32)
+    R = R + source_contrib(xf, wt0)
+    x1 = act(R[:, :gc])
+    R = drop_cols(R, gc) + source_contrib(x1, wt1)
+    x2 = act(R[:, :gc])
     if plus:
         p = jnp.dot(xf, w1x1[:], preferred_element_type=jnp.float32)
         x2 = x2 + jnp.where(valid, p, 0.0).astype(xf.dtype)
-    acc = acc + pad_cols(source_contrib(x2, wt2), 2 * gc)
-    x3 = act(acc[:, 2 * gc: 3 * gc])
-    acc = acc + pad_cols(source_contrib(x3, wt3), 3 * gc)
-    x4 = act(acc[:, 3 * gc: 4 * gc])
+    R = drop_cols(R, gc) + source_contrib(x2, wt2)
+    x3 = act(R[:, :gc])
+    R = drop_cols(R, gc) + source_contrib(x3, wt3)
+    x4 = act(R[:, :gc])
     if plus:
         x4 = x4 + x2
-    acc = acc + pad_cols(source_contrib(x4, wt4), 4 * gc)
+    R = drop_cols(R, gc) + source_contrib(x4, wt4)
 
-    x5 = acc[:, 4 * gc: 4 * gc + nf]
+    x5 = R[:, :nf]
     out = (x5 * 0.2 + xf.astype(jnp.float32)).astype(xf.dtype)
     # pad lanes back to 128 so the HBM DMA slice is lane-aligned
     out = jnp.concatenate(
@@ -293,6 +299,23 @@ def _rdb_kernel_pipelined(
             out_copy(i - 1, jax.lax.rem(i - 1, 2)).wait()
 
 
+def _auto_block(th: int, tw: int) -> Tuple[int, int]:
+    """Default kernel block: a full-width strip when VMEM allows.
+
+    The halo canvas costs (bh+10)(bw+16)/(bh*bw) extra compute per block;
+    full-width strips amortize the 16-lane width pad over the whole tile
+    row (inflation 1.23 at 64xW vs 1.445 at 64x64) and measured fastest
+    on-chip (tools/kernel_sweep.py round 3: 43.2 TF/s for 64x256 strips vs
+    37.5 for 64x64 in the same window).  The width cap keeps the suffix
+    accumulator (pp, 192) fp32 + double-buffered slabs well inside the
+    VMEM budget."""
+    if tw % 16 == 0 and tw <= 320:
+        for bh in (64, 48, 32):
+            if th % bh == 0:
+                return (bh, tw)
+    return (64, 64)
+
+
 def _pick_block(tdim: int, pref: int) -> int:
     """Largest workable kernel block for a tile dimension: the preferred
     size when it divides the dim, else the dim itself (small tiles), else
@@ -318,11 +341,11 @@ def fused_rdb(
     gc: int = 32,
     plus: bool = False,
     conv1x1_w: Optional[jax.Array] = None,
-    # 64x64 blocks: 38.5 TF/s vs XLA's 33 on the v5e trunk, ~19s Mosaic
-    # compile.  128x128 measures faster standalone (42.6) but its compile
-    # embedded in the full 69-call tiled graph runs >12 min on the remote
-    # compiler — not worth it for +10% kernel-side.
-    block: Tuple[int, int] = (64, 64),
+    # None = auto (_auto_block): full-width strips where VMEM allows,
+    # else 64x64.  Measured round 3 (same window): 64x64 serial 35.4,
+    # 64x64 pipelined 37.5, 64x256 strip 43.2 TF/s; strip Mosaic compile
+    # ~2 min (once per shape, persisted by the compilation cache).
+    block: Optional[Tuple[int, int]] = None,
     acc_dtype=jnp.float32,
     neg_slope: float = 0.2,
     interpret: bool = False,
@@ -334,6 +357,8 @@ def fused_rdb(
     Returns (B, T, T, nf) = conv-chain output * 0.2 + x.
     """
     b, th, tw, nf = x.shape
+    if block is None:
+        block = _auto_block(th, tw)
     bh, bw = _pick_block(th, block[0]), _pick_block(tw, block[1])
     hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
     assert wp % 16 == 0, (
