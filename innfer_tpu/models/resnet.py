@@ -64,7 +64,25 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     i_conv1 = 1 if has_pad else 0
     i_conv2 = i_conv1 + 3 + int(use_dropout) + int(has_pad)
 
+    backend = cfg.get("backend", "auto")  # auto | xla
+
     def res_block(params, x, prefix):
+        if backend == "auto" and is_instance and pad_type == "reflect":
+            # fused whole-block Pallas kernel (ops/pallas/resnet_block.py):
+            # conv+IN+relu+conv+IN+residual in one VMEM-resident pass.
+            # Dropout sits between the halves but is inference-identity,
+            # so it never blocks the fusion.
+            from innfer_tpu.ops.pallas.resnet_block import (
+                fused_resnet_block, slab_ok)
+
+            if slab_ok(x.shape, x.dtype):
+                return fused_resnet_block(
+                    x,
+                    params[f"{prefix}.conv_block.{i_conv1}.weight"],
+                    params.get(f"{prefix}.conv_block.{i_conv1}.bias"),
+                    params[f"{prefix}.conv_block.{i_conv2}.weight"],
+                    params.get(f"{prefix}.conv_block.{i_conv2}.bias"),
+                )
         p = 0 if has_pad else 1
         h = x
         if has_pad:
@@ -122,6 +140,10 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         h = conv(params, h, f"model.{i_out}", k=7)
         return F.tanh(h)
 
+    # ask the planner for 64-multiple tile dims when the fused ResnetBlock
+    # can fire (slab = tile/4 then has 16-multiple width; see slab_ok)
+    quantum = 64 if (backend == "auto" and is_instance
+                     and pad_type == "reflect") else 1
     return ModelDef(
         name="resnet_net",
         cfg=dict(cfg),
@@ -129,4 +151,5 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         scale=1,
         transposed_keys=tuple(transposed),
         ignore_key_patterns=(r".*running_(mean|var)", r".*num_batches_tracked"),
+        tile_quantum=quantum,
     )

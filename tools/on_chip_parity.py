@@ -131,6 +131,31 @@ def main():
     print("e2e:", {k: v for k, v in results.items() if "e2e" in k},
           flush=True)
 
+    # --- CycleGAN fused ResnetBlock (ops/pallas/resnet_block.py) ----------
+    cg_model, cg_params = SP.build("cyclegan", dtype=dtype, n_blocks=9,
+                                   ngf=64)
+    xcg = jnp.asarray(rng.random((1, 512, 512, 3), np.float32) * 2 - 1,
+                      dtype)
+    cg_outs, cg_times = {}, {}
+    for backend in ("auto", "xla"):
+        m = get_network(dict(cg_model.cfg, backend=backend))
+        runner = TiledRunner(
+            m.apply, 1, mode="auto", tile=256, overlap=16, tile_batch=8,
+            compute_dtype=dtype, max_group_px=1_400_000, tile_quantum=64)
+        sync(runner(cg_params, xcg))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = runner(cg_params, xcg)
+            sync(out)
+        cg_times[backend] = (time.perf_counter() - t0) / 3
+        cg_outs[backend] = np.asarray(out, np.float32)
+        results[f"cg_{backend}_mps"] = round(
+            512 * 512 / cg_times[backend] / 1e6, 2)
+    results["cg_auto_vs_xla_psnr_db"] = round(
+        psnr(cg_outs["auto"], cg_outs["xla"]), 1)
+    print("cyclegan:", {k: v for k, v in results.items() if "cg_" in k},
+          flush=True)
+
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
