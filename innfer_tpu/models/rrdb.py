@@ -142,7 +142,7 @@ def _rdb5c_pallas(params, x, prefix: str, *, plus: bool):
     return fused_rdb(x, weights, biases, gc=gc, plus=plus, conv1x1_w=w1)
 
 
-from innfer_tpu.ops.pallas import dim_pallas_fast as _dim_pallas_fast
+from innfer_tpu.ops.pallas import tile_pallas_fast as _tile_pallas_fast
 
 
 def _use_pallas(x, act_type: str) -> bool:
@@ -161,8 +161,8 @@ def _pallas_ok(x, act_type: str) -> bool:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    return (x.ndim == 4 and _dim_pallas_fast(int(x.shape[1]))
-            and _dim_pallas_fast(int(x.shape[2])))
+    return x.ndim == 4 and _tile_pallas_fast(int(x.shape[1]),
+                                             int(x.shape[2]))
 
 
 def _rrdb(params, x, prefix: str, *, nr: int, act_type: str, plus: bool,

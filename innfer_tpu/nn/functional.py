@@ -149,6 +149,10 @@ def conv_transpose2d(
             and output_padding == (0, 0):
         return _conv_transpose_subpixel_k4s2p1(x, w, b,
                                                accum_dtype=accum_dtype)
+    if (kh, kw) == (3, 3) and stride == (2, 2) and padding == (1, 1) \
+            and output_padding == (1, 1):
+        return _conv_transpose_subpixel_k3s2p1op1(x, w, b,
+                                                  accum_dtype=accum_dtype)
     pads = [
         (kh - 1 - padding[0], kh - 1 - padding[0] + output_padding[0]),
         (kw - 1 - padding[1], kw - 1 - padding[1] + output_padding[1]),
@@ -204,6 +208,52 @@ def _conv_transpose_subpixel_k4s2p1(
         for a in (0, 1) for bb in (0, 1)
     ]
     t = jnp.stack(parts, axis=-1).reshape(bsz, h, wdt, cout * 4)
+    out = pixel_shuffle(t, 2)
+    if b is not None:
+        out = out + b.astype(accum_dtype)
+    return out.astype(x.dtype)
+
+
+def _conv_transpose_subpixel_k3s2p1op1(
+    x: Array, w: Array, b: Optional[Array], *, accum_dtype=jnp.float32,
+) -> Array:
+    """ConvTranspose2d(k=3, s=2, p=1, output_padding=1) — the CycleGAN
+    upsampler — as ONE k2x2 conv + pixel shuffle (see the k4 variant).
+
+    Stride 2 splits the 9 taps by output phase: phase 0 reads only tap 1,
+    phase 1 reads taps {0, 2} (per dimension).  Packed as four k2x2 phase
+    kernels (zeros in unused taps) over the right/bottom-padded input; the
+    output_padding row/col falls out of the zero pad.  16 (1/4 zero)
+    MACs/px instead of the dilated form's 36."""
+    bsz, h, wdt, _ = x.shape
+    cin, cout = w.shape[2], w.shape[3]
+    z = jnp.zeros((cin, cout), w.dtype)
+    # t_y(a, dy): phase 0 -> [w1, 0]; phase 1 -> [w0, w2] (same for x dim)
+    taps = {0: (1, None), 1: (0, 2)}
+
+    def tap(ty, tx):
+        if ty is None or tx is None:
+            return z
+        return w[ty, tx]
+
+    wk = jnp.stack([
+        jnp.stack([
+            jnp.stack([tap(taps[a][dy], taps[bb][dx]) for dx in (0, 1)])
+            for dy in (0, 1)
+        ])
+        for a in (0, 1) for bb in (0, 1)
+    ])  # (phase, dy, dx, cin, cout)
+    wk = wk.transpose(1, 2, 3, 0, 4).reshape(2, 2, cin, 4 * cout)
+    xp = jnp.pad(x, [(0, 0), (0, 1), (0, 1), (0, 0)])
+    co = lax.conv_general_dilated(
+        xp, wk.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=_DIMNUMS_NHWC,
+        preferred_element_type=accum_dtype,
+    )  # (B, h, w, 4*cout) channels (a*2+b)*... see transpose below
+    # channel layout after transpose: psi = phase*cout + o -> regroup to
+    # o*4 + phase for pixel_shuffle
+    co = co.reshape(bsz, h, wdt, 4, cout).transpose(0, 1, 2, 4, 3)
+    t = co.reshape(bsz, h, wdt, cout * 4)
     out = pixel_shuffle(t, 2)
     if b is not None:
         out = out + b.astype(accum_dtype)

@@ -4,10 +4,19 @@ jax.experimental.pallas — the kernels import it themselves)."""
 
 def dim_pallas_fast(dim: int) -> bool:
     """True when rdb._pick_block finds a >=64 block for this tile
-    dimension — the regime where the fused RDB beats XLA (measured round 2:
-    38.5-42.6 TF/s at 64-128 blocks vs XLA's 33; 26.9 at 32).  Shared by
-    the model-side auto gate (models/rrdb) and the tile planner's quantum
-    cost guard (tiling/plan)."""
+    dimension — the square-block fast regime (round 2: 38.5-42.6 TF/s at
+    64-128 blocks vs XLA's 33; 26.9 at 32)."""
     if dim % 64 == 0:
         return True
     return 64 <= dim <= 128 and dim % 16 == 0
+
+
+def tile_pallas_fast(th: int, tw: int) -> bool:
+    """True when the fused RDB has a fast block decomposition for this
+    tile SHAPE: a full-width strip (rdb._auto_block; 43.4 TF/s measured
+    round 3) or the square 64-block regime.  Shared by the model-side
+    auto gate (models/rrdb) and the tile planner's quantum cost guard
+    (tiling/plan)."""
+    strip = (tw % 16 == 0 and 16 <= tw <= 320
+             and any(th % bh == 0 for bh in (64, 48, 32)))
+    return strip or (dim_pallas_fast(th) and dim_pallas_fast(tw))

@@ -209,20 +209,22 @@ def make_auto_plan(
 
     if align >= 64 and not align_strict:
         # the coarse (fused-kernel quantum) grid only pays off when its
-        # extra processed pixels stay under the kernel's measured ~15-17%
-        # gain over the XLA path AND the chosen dims are actually in the
-        # kernel's fast regime (>=64 blocks); otherwise take the fine grid
-        # (which also serves as the fallback when no coarse option fits
-        # max_group_px) and let the Pallas gate route to XLA
-        from innfer_tpu.ops.pallas import dim_pallas_fast
+        # extra processed pixels stay under the kernel's measured gain
+        # over the XLA path (round 3: 43.4 vs 33 TF/s for strip blocks,
+        # ~1.3x — guard at 1.25) AND the chosen tile shape is actually in
+        # the kernel's fast regime (full-width strip or >=64 square
+        # blocks); otherwise take the fine grid (which also serves as the
+        # fallback when no coarse option fits max_group_px) and let the
+        # Pallas gate route to XLA
+        from innfer_tpu.ops.pallas import tile_pallas_fast
 
         best = search(align)
         fine = search(8)
         if best is None:
             best = fine
         elif fine is not None:
-            eligible = dim_pallas_fast(best[2]) and dim_pallas_fast(best[4])
-            if not eligible or best[0][0] > 1.10 * fine[0][0]:
+            eligible = tile_pallas_fast(best[2], best[4])
+            if not eligible or best[0][0] > 1.25 * fine[0][0]:
                 best = fine
     else:
         best = search(align)
