@@ -106,7 +106,7 @@ def _tile_valid_mask(by, bx, *, bh, bw, wp, pp, t_h, t_w, halo):
 def _rdb_compute(
     x_vm_slot, by, bx, wt0, wt1, wt2, wt3, wt4, bias, w1x1,
     *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
-    neg_slope: float,
+    neg_slope: float, canon: bool = True,
 ):
     """The conv-chain body shared by the serial and pipelined drivers:
     VMEM canvas in, (bh, bw, LANE) block value out."""
@@ -154,7 +154,9 @@ def _rdb_compute(
     def act(pre):
         a = jnp.where(pre >= 0, pre, pre * neg_slope)
         a = jnp.where(valid, a, 0.0)
-        return _canon(a, pp).astype(xf.dtype)
+        if canon:
+            a = _canon(a, pp)
+        return a.astype(xf.dtype)
 
     # Suffix accumulation: R holds the fp32 pre-activation partial sums of
     # the REMAINING targets only (source s's packed weights produce exactly
@@ -191,7 +193,7 @@ def _rdb_kernel(
     xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, _out_buf, out_ref,
     x_vm, out_vm, sem, sem_out,
     *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
-    neg_slope: float, acc_dtype,
+    neg_slope: float, acc_dtype, canon: bool = True,
 ):
     """Serial driver: blocking DMA in -> compute -> blocking DMA out."""
     by = pl.program_id(1)
@@ -208,7 +210,7 @@ def _rdb_kernel(
     out_vm[:] = _rdb_compute(
         x_vm, by, bx, wt0, wt1, wt2, wt3, wt4, bias, w1x1,
         nf=nf, gc=gc, bh=bh, bw=bw, t_h=t_h, t_w=t_w, plus=plus,
-        neg_slope=neg_slope,
+        neg_slope=neg_slope, canon=canon,
     )
     cpo = pltpu.make_async_copy(
         out_vm,
@@ -224,6 +226,7 @@ def _rdb_kernel_pipelined(
     x_vm, out_vm, sem_in, sem_out,
     *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
     neg_slope: float, acc_dtype, nby: int, nbx: int, total: int,
+    canon: bool = True,
 ):
     """Double-buffered driver: the input DMA for block i+1 and the output
     DMA for block i both run while block i+1's neighbors compute, hiding
@@ -277,7 +280,7 @@ def _rdb_kernel_pipelined(
     blk = _rdb_compute(
         x_vm.at[slot], by, bx, wt0, wt1, wt2, wt3, wt4, bias, w1x1,
         nf=nf, gc=gc, bh=bh, bw=bw, t_h=t_h, t_w=t_w, plus=plus,
-        neg_slope=neg_slope,
+        neg_slope=neg_slope, canon=canon,
     )
 
     @pl.when(i >= 2)
@@ -350,6 +353,7 @@ def fused_rdb(
     neg_slope: float = 0.2,
     interpret: bool = False,
     pipelined: bool = True,
+    canon: bool = True,
 ) -> jax.Array:
     """One fused ResidualDenseBlock_5C forward.
 
@@ -386,13 +390,13 @@ def fused_rdb(
         kernel = functools.partial(
             _rdb_kernel_pipelined, nf=nf, gc=gc, bh=bh, bw=bw, t_h=th,
             t_w=tw, plus=plus, neg_slope=neg_slope, acc_dtype=acc_dtype,
-            nby=nby, nbx=nbx, total=b * nby * nbx,
+            nby=nby, nbx=nbx, total=b * nby * nbx, canon=canon,
         )
         nslots = 2
     else:
         kernel = functools.partial(
             _rdb_kernel, nf=nf, gc=gc, bh=bh, bw=bw, t_h=th, t_w=tw,
-            plus=plus, neg_slope=neg_slope, acc_dtype=acc_dtype,
+            plus=plus, neg_slope=neg_slope, acc_dtype=acc_dtype, canon=canon,
         )
         nslots = 0
     return pl.pallas_call(

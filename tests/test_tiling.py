@@ -245,3 +245,30 @@ def test_halo_conv_matches_unsharded(rng):
         lambda t: halo_conv2d(t, w, b, mesh=mesh, padding=1)
     )(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+class TestStripAwarePlannerGuard:
+    def test_540p_plans_kernel_eligible_tiles(self):
+        """Round-3 regression: with the strip-aware gate and the 1.25 cost
+        guard, the 540x960 bench shape must plan kernel-eligible tiles
+        (it fell back to 280x256 XLA tiles under the old square-only gate,
+        silently losing the fused trunk)."""
+        from innfer_tpu.ops.pallas import tile_pallas_fast
+        from innfer_tpu.tiling.plan import make_auto_plan
+
+        for h, w in ((540, 960), (1080, 1920)):
+            p = make_auto_plan(h, w, 4, overlap=16, tile_batch=8,
+                               max_group_px=1_400_000, align=64)
+            assert tile_pallas_fast(p.tile_h, p.tile_w), (h, w, p.tile_h, p.tile_w)
+
+    def test_tile_pallas_fast_strip_shapes(self):
+        from innfer_tpu.ops.pallas import tile_pallas_fast
+
+        assert tile_pallas_fast(320, 256)   # strip 64x256
+        assert tile_pallas_fast(576, 256)
+        assert tile_pallas_fast(144, 256)   # strip 48x256
+        assert not tile_pallas_fast(280, 256)  # 280 has no strip height
+        assert not tile_pallas_fast(320, 250)  # width not 16-multiple
+        # width beyond the strip VMEM cap still qualifies via 64x64 blocks
+        assert tile_pallas_fast(320, 512)
+        assert tile_pallas_fast(128, 128)   # square regime still fast
