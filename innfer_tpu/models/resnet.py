@@ -64,10 +64,16 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     i_conv1 = 1 if has_pad else 0
     i_conv2 = i_conv1 + 3 + int(use_dropout) + int(has_pad)
 
-    backend = cfg.get("backend", "auto")  # auto | xla
+    # 'pallas' opts into the fused whole-block kernel.  NOT auto-enabled:
+    # standalone it matches XLA (~104 ms / 9-block 8-slab chain, see
+    # tools/resnet_block_ab.py), but embedded in some tiled graphs
+    # (tile 192 / slab 48x48, 2 dispatch groups) the auto variant measured
+    # ~9x slower than XLA (ONCHIP r3 cg section) — un-diagnosed backend
+    # interaction; tools/cg_tiled_ab.py isolates it.
+    backend = cfg.get("backend", "xla")  # xla | pallas
 
     def res_block(params, x, prefix):
-        if backend == "auto" and is_instance and pad_type == "reflect":
+        if backend == "pallas" and is_instance and pad_type == "reflect":
             # fused whole-block Pallas kernel (ops/pallas/resnet_block.py):
             # conv+IN+relu+conv+IN+residual in one VMEM-resident pass.
             # Dropout sits between the halves but is inference-identity,
@@ -142,7 +148,7 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
 
     # ask the planner for 64-multiple tile dims when the fused ResnetBlock
     # can fire (slab = tile/4 then has 16-multiple width; see slab_ok)
-    quantum = 64 if (backend == "auto" and is_instance
+    quantum = 64 if (backend == "pallas" and is_instance
                      and pad_type == "reflect") else 1
     return ModelDef(
         name="resnet_net",

@@ -1,8 +1,13 @@
 """A/B: input-dilated vs subpixel lowering for ConvTranspose2d shapes.
 
-The k4s2p1 subpixel rewrite regressed the UNet bench (16-18 -> 10.4 MP/s)
-— time both lowerings at every UNet-256 and CycleGAN deconv shape to find
+The k4s2p1 subpixel rewrite regressed the UNet bench (16-18 -> 10.4 MP/s);
+time both lowerings at every UNet-256 / CycleGAN deconv shape to find
 where each wins, then gate the fast path accordingly.
+
+Methodology: each sample is ONE jit of a 20-step lax.scan whose step runs
+the deconv and restores the carry shape (stride-2 slice + channel tile);
+a glue-only scan (same step without the deconv) is subtracted.  One
+device-scalar fetch per sample (unsynced dispatches can be dropped here).
 
 Usage (TPU): nohup python tools/deconv_ab.py > /tmp/deconv_ab.log 2>&1 &
 """
@@ -13,6 +18,8 @@ import sys
 import time
 
 sys.path.insert(0, ".")
+
+STEPS = 20
 
 
 def main():
@@ -26,19 +33,15 @@ def main():
     def sync(x):
         return float(jax.jit(lambda t: jnp.sum(t.astype(jnp.float32)))(x))
 
-    def timed(fn, *a, n=10):
-        y = fn(*a)
-        sync(y)
+    def timed(run, x, n=4):
+        sync(run(x))
         t0 = time.perf_counter()
         for _ in range(n):
-            y = fn(*a)
-            sync(y)
+            sync(run(x))
         return (time.perf_counter() - t0) / n
 
     rng = np.random.default_rng(0)
     results = {}
-    # (name, B, H, W, Cin, Cout, k, op) — UNet-256 decoder (k4 op0) at
-    # batch 8 and CycleGAN ups (k3 op1) at tile 320x256 slabs
     shapes = [
         ("unet_inner_2", 8, 2, 2, 1024, 512, 4, 0),
         ("unet_4", 8, 4, 4, 1024, 512, 4, 0),
@@ -47,7 +50,6 @@ def main():
         ("unet_32", 8, 32, 32, 1024, 256, 4, 0),
         ("unet_64", 8, 64, 64, 512, 128, 4, 0),
         ("unet_128", 8, 128, 128, 256, 64, 4, 0),
-        ("unet_outer_256", 8, 128, 128, 128, 64, 4, 0),
         ("cg_up1", 8, 80, 64, 256, 128, 3, 1),
         ("cg_up2", 8, 160, 128, 128, 64, 3, 1),
     ]
@@ -56,28 +58,44 @@ def main():
         wt = jnp.asarray(rng.standard_normal((k, k, ci, co)) * 0.05,
                          jnp.bfloat16)
         bb = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+        pads = [(k - 2, k - 2 + op)] * 2
+        rep = -(-ci // co)
 
-        pads = [(k - 1 - 1, k - 1 - 1 + op)] * 2
+        def restore(o):
+            c2 = o[:, ::2, ::2, :]
+            return jnp.tile(c2, (1, 1, 1, rep))[..., :ci]
 
-        @jax.jit
-        def dilated(t, wt=wt, bb=bb, pads=pads):
-            o = lax.conv_general_dilated(
-                t, wt, (1, 1), pads, lhs_dilation=(2, 2),
+        def step_dilated(c, _):
+            o = (lax.conv_general_dilated(
+                c, wt, (1, 1), pads, lhs_dilation=(2, 2),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32) + bb
-            return o.astype(t.dtype)
+                preferred_element_type=jnp.float32) + bb).astype(c.dtype)
+            return restore(o), None
 
         if k == 4:
-            sub = jax.jit(lambda t, wt=wt, bb=bb:
-                          F._conv_transpose_subpixel_k4s2p1(t, wt, bb))
+            def step_sub(c, _):
+                return restore(
+                    F._conv_transpose_subpixel_k4s2p1(c, wt, bb)), None
         else:
-            sub = jax.jit(lambda t, wt=wt, bb=bb:
-                          F._conv_transpose_subpixel_k3s2p1op1(t, wt, bb))
-        td = timed(dilated, x)
-        ts = timed(sub, x)
-        results[name] = {"dilated_us": round(td * 1e6, 1),
-                         "subpixel_us": round(ts * 1e6, 1),
-                         "subpixel_speedup": round(td / ts, 2)}
+            def step_sub(c, _):
+                return restore(
+                    F._conv_transpose_subpixel_k3s2p1op1(c, wt, bb)), None
+
+        def step_glue(c, _):
+            o = jnp.tile(c[..., :co], (1, 2, 2, 1))  # same out shape class
+            return restore(o), None
+
+        times = {}
+        for label, step in (("dilated", step_dilated), ("subpixel", step_sub),
+                            ("glue", step_glue)):
+            run = jax.jit(lambda t, s=step: lax.scan(s, t, None,
+                                                     length=STEPS)[0])
+            times[label] = timed(run, x) / STEPS
+        d = max(times["dilated"] - times["glue"], 1e-9)
+        s = max(times["subpixel"] - times["glue"], 1e-9)
+        results[name] = {"dilated_us": round(d * 1e6, 1),
+                         "subpixel_us": round(s * 1e6, 1),
+                         "subpixel_speedup": round(d / s, 2)}
         print(name, results[name], flush=True)
     print(json.dumps(results))
 

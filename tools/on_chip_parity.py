@@ -112,11 +112,12 @@ def main():
     outs, times = {}, {}
     for backend in ("auto", "xla"):
         m = get_network(dict(model.cfg, backend=backend))
+        # force the SAME tile plan for both backends (tile_quantum=64) so
+        # the PSNR isolates kernel numerics, not seam-placement differences
         runner = TiledRunner(
             m.apply, 4, mode="auto", tile=256, overlap=16, tile_batch=8,
             compute_dtype=dtype, max_group_px=1_400_000,
-            tile_quantum=m.tile_quantum,
-            tile_quantum_strict=m.tile_quantum_strict)
+            tile_quantum=64)
         sync(runner(params, x))  # compile
         t0 = time.perf_counter()
         for _ in range(3):
@@ -137,7 +138,7 @@ def main():
     xcg = jnp.asarray(rng.random((1, 512, 512, 3), np.float32) * 2 - 1,
                       dtype)
     cg_outs, cg_times = {}, {}
-    for backend in ("auto", "xla"):
+    for backend in ("pallas", "xla"):
         m = get_network(dict(cg_model.cfg, backend=backend))
         runner = TiledRunner(
             m.apply, 1, mode="auto", tile=256, overlap=16, tile_batch=8,
@@ -151,8 +152,8 @@ def main():
         cg_outs[backend] = np.asarray(out, np.float32)
         results[f"cg_{backend}_mps"] = round(
             512 * 512 / cg_times[backend] / 1e6, 2)
-    results["cg_auto_vs_xla_psnr_db"] = round(
-        psnr(cg_outs["auto"], cg_outs["xla"]), 1)
+    results["cg_pallas_vs_xla_psnr_db"] = round(
+        psnr(cg_outs["pallas"], cg_outs["xla"]), 1)
     print("cyclegan:", {k: v for k, v in results.items() if "cg_" in k},
           flush=True)
 
