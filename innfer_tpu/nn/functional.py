@@ -145,14 +145,15 @@ def conv_transpose2d(
     if isinstance(output_padding, int):
         output_padding = (output_padding, output_padding)
     kh, kw = w.shape[0], w.shape[1]
-    if (kh, kw) == (4, 4) and stride == (2, 2) and padding == (1, 1) \
-            and output_padding == (0, 0):
-        return _conv_transpose_subpixel_k4s2p1(x, w, b,
-                                               accum_dtype=accum_dtype)
-    if (kh, kw) == (3, 3) and stride == (2, 2) and padding == (1, 1) \
-            and output_padding == (1, 1):
-        return _conv_transpose_subpixel_k3s2p1op1(x, w, b,
-                                                  accum_dtype=accum_dtype)
+    if _subpixel_enabled():
+        if (kh, kw) == (4, 4) and stride == (2, 2) and padding == (1, 1) \
+                and output_padding == (0, 0):
+            return _conv_transpose_subpixel_k4s2p1(x, w, b,
+                                                   accum_dtype=accum_dtype)
+        if (kh, kw) == (3, 3) and stride == (2, 2) and padding == (1, 1) \
+                and output_padding == (1, 1):
+            return _conv_transpose_subpixel_k3s2p1op1(x, w, b,
+                                                      accum_dtype=accum_dtype)
     pads = [
         (kh - 1 - padding[0], kh - 1 - padding[0] + output_padding[0]),
         (kw - 1 - padding[1], kw - 1 - padding[1] + output_padding[1]),
@@ -169,6 +170,14 @@ def conv_transpose2d(
     if b is not None:
         out = out + b.astype(accum_dtype)
     return out.astype(x.dtype)
+
+
+def _subpixel_enabled() -> bool:
+    """Gate for the subpixel deconv lowerings (A/B via INNFER_SUBPIXEL=0/1;
+    default on — both forms are exact, this only selects the lowering)."""
+    import os
+
+    return os.environ.get("INNFER_SUBPIXEL", "1") != "0"
 
 
 def _conv_transpose_subpixel_k4s2p1(
