@@ -145,13 +145,14 @@ def conv_transpose2d(
     if isinstance(output_padding, int):
         output_padding = (output_padding, output_padding)
     kh, kw = w.shape[0], w.shape[1]
-    if _subpixel_enabled():
+    mode = _subpixel_mode()
+    if mode != "0":
         if (kh, kw) == (4, 4) and stride == (2, 2) and padding == (1, 1) \
                 and output_padding == (0, 0):
             return _conv_transpose_subpixel_k4s2p1(x, w, b,
                                                    accum_dtype=accum_dtype)
-        if (kh, kw) == (3, 3) and stride == (2, 2) and padding == (1, 1) \
-                and output_padding == (1, 1):
+        if mode == "all" and (kh, kw) == (3, 3) and stride == (2, 2) \
+                and padding == (1, 1) and output_padding == (1, 1):
             return _conv_transpose_subpixel_k3s2p1op1(x, w, b,
                                                       accum_dtype=accum_dtype)
     pads = [
@@ -172,12 +173,15 @@ def conv_transpose2d(
     return out.astype(x.dtype)
 
 
-def _subpixel_enabled() -> bool:
-    """Gate for the subpixel deconv lowerings (A/B via INNFER_SUBPIXEL=0/1;
-    default on — both forms are exact, this only selects the lowering)."""
+def _subpixel_mode() -> str:
+    """Lowering gate for subpixel deconvs (both forms are exact, this only
+    selects the lowering).  INNFER_SUBPIXEL: "1" (default) = k4 only
+    (UNet; +24% same-window on the v5e bench), "all" = also k3
+    (CycleGAN; measured slightly negative there — its deconvs are tiny
+    and the per-op floor dominates), "0" = always input-dilated."""
     import os
 
-    return os.environ.get("INNFER_SUBPIXEL", "1") != "0"
+    return os.environ.get("INNFER_SUBPIXEL", "1")
 
 
 def _conv_transpose_subpixel_k4s2p1(
