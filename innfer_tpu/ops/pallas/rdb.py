@@ -106,7 +106,7 @@ def _tile_valid_mask(by, bx, *, bh, bw, wp, pp, t_h, t_w, halo):
 def _rdb_compute(
     x_vm_slot, by, bx, wt0, wt1, wt2, wt3, wt4, bias, w1x1,
     *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
-    neg_slope: float, canon: bool = True,
+    neg_slope: float, canon: bool = False,
 ):
     """The conv-chain body shared by the serial and pipelined drivers:
     VMEM canvas in, (bh, bw, LANE) block value out."""
@@ -155,6 +155,11 @@ def _rdb_compute(
         a = jnp.where(pre >= 0, pre, pre * neg_slope)
         a = jnp.where(valid, a, 0.0)
         if canon:
+            # the old monolithic-accumulator scheme needed a net-zero
+            # double-roll here to fix lane-offset layouts from column
+            # slices; the suffix accumulator's R[:, :gc] slices sit at
+            # offset 0 already, so this is OFF by default (bit-exact and
+            # +2.5% measured on-chip; the flag remains for A/B)
             a = _canon(a, pp)
         return a.astype(xf.dtype)
 
@@ -193,7 +198,7 @@ def _rdb_kernel(
     xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, _out_buf, out_ref,
     x_vm, out_vm, sem, sem_out,
     *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
-    neg_slope: float, acc_dtype, canon: bool = True,
+    neg_slope: float, acc_dtype, canon: bool = False,
 ):
     """Serial driver: blocking DMA in -> compute -> blocking DMA out."""
     by = pl.program_id(1)
@@ -226,7 +231,7 @@ def _rdb_kernel_pipelined(
     x_vm, out_vm, sem_in, sem_out,
     *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
     neg_slope: float, acc_dtype, nby: int, nbx: int, total: int,
-    canon: bool = True,
+    canon: bool = False,
 ):
     """Double-buffered driver: the input DMA for block i+1 and the output
     DMA for block i both run while block i+1's neighbors compute, hiding
@@ -353,7 +358,7 @@ def fused_rdb(
     neg_slope: float = 0.2,
     interpret: bool = False,
     pipelined: bool = True,
-    canon: bool = True,
+    canon: bool = False,
 ) -> jax.Array:
     """One fused ResidualDenseBlock_5C forward.
 
