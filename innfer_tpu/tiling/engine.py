@@ -86,6 +86,13 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+# When the dispatch-group count is at most this, run a Python-unrolled loop
+# over groups instead of lax.map (a scan).  Off by default pending on-chip
+# A/B (tools/map_unroll_ab.py): suspected lax.map+pallas interaction in the
+# fused-ResnetBlock tiled graphs.
+_UNROLL_GROUPS = 0
+
+
 def tiled_apply(
     apply_fn: Callable,
     params,
@@ -127,7 +134,11 @@ def tiled_apply(
             out = out[output_index]
         return out
 
-    out_tiles = jax.lax.map(fwd, groups)
+    n_groups = groups.shape[0]
+    if n_groups <= _UNROLL_GROUPS:
+        out_tiles = jnp.stack([fwd(groups[g]) for g in range(n_groups)])
+    else:
+        out_tiles = jax.lax.map(fwd, groups)
     tsh, tsw = plan.tile_h * plan.scale, plan.tile_w * plan.scale
     out_tiles = out_tiles.reshape(n_padded, tsh, tsw, -1)[:n]
     return recompose_tiles(out_tiles, plan)
