@@ -128,6 +128,68 @@ def conv3x3(params: Params, x: jax.Array, key: str) -> jax.Array:
     return F.conv2d(x, params[f"{key}.weight"], params.get(f"{key}.bias"), padding=1)
 
 
+_PHASE_SAFE_ACTS = (None, "relu", "leakyrelu", "lrelu", "tanh", "sigmoid")
+
+
+def phase_tail_ok(params: Params, up_key: str, *, factor: int, up_mode: str,
+                  act_type, finalact) -> bool:
+    """Whether the tail (last upsample block + HR convs) can run in phase
+    space (see nn/phase.py): per-block factor 2, a 3x3 last-block conv,
+    and parameter-free activations (parameterized acts carry per-channel
+    state that the phase-major layout would need to re-plumb).
+    INNFER_PHASE_TAIL=0 forces the materialized path (A/B hook)."""
+    import os
+
+    if os.environ.get("INNFER_PHASE_TAIL", "1") == "0":
+        return False
+    if factor != 2 or up_mode not in ("upconv", "pixelshuffle"):
+        return False
+    if act_type not in _PHASE_SAFE_ACTS or finalact not in _PHASE_SAFE_ACTS:
+        return False
+    w = params.get(f"{up_key}.weight")
+    return w is not None and w.ndim == 4 and w.shape[:2] == (3, 3)
+
+
+def apply_phase_tail(
+    params: Params, h: jax.Array, *, up_key: str, up_mode: str,
+    act_type, hr0: int, finalact, out_prefix: str = "model",
+) -> jax.Array:
+    """The SR tail — last upsample block, act, HR conv, act, conv_last,
+    optional finalact — evaluated entirely in phase space at the
+    half-resolution grid, with one final 3-channel depth-to-space.
+
+    Exact reformulation of the materialized tail (same taps, fp32
+    accumulation order differs; see nn/phase.py).  Avoids both HR-
+    resolution 3x3 convs (nf channels at scale^2 spatial — the worst
+    MXU shapes in the model) and two full-size pixel-shuffle
+    materializations.  Reference semantics: RRDBNet_arch.py:40-48 /
+    SRResNet_arch.py:44-45 tail order.
+    """
+    from innfer_tpu.nn import phase as PH
+
+    r = 2
+    w = params[f"{up_key}.weight"]
+    b = params.get(f"{up_key}.bias")
+    if up_mode == "upconv":
+        w2, _ = collapse_upconv_weight(w, None, r)
+        w2 = PH.cmajor_to_phase_major(w2, r)
+        p = F.conv2d(h, w2, PH.phase_bias(b, r), padding=1)
+    else:  # pixelshuffle: the conv's channels are already per-phase
+        p = F.conv2d(h, PH.cmajor_to_phase_major(w, r),
+                     PH.cmajor_bias_to_phase_major(b, r), padding=1)
+    p = F.act(act_type, p)
+    p = PH.phase_conv3x3(
+        p, params[f"{out_prefix}.{hr0}.weight"],
+        params.get(f"{out_prefix}.{hr0}.bias"), r)
+    p = F.act(act_type, p)
+    p = PH.phase_conv3x3(
+        p, params[f"{out_prefix}.{hr0 + 2}.weight"],
+        params.get(f"{out_prefix}.{hr0 + 2}.bias"), r)
+    if finalact:
+        p = F.act(finalact, p)
+    return PH.phase_shuffle_out(p, r)
+
+
 # ---------------------------------------------------------------------------
 # Reference conv_block semantics (mode CNA | NAC | CNAC, norm, act, pad)
 # ---------------------------------------------------------------------------

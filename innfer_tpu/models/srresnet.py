@@ -75,10 +75,19 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
             params, t, lambda j: f"model.1.sub.{nb + j}", mode=conv_mode,
             norm_type=norm_type, act_type=None)
         h = fea + t
-        for ci in up_convs:
+        phase_tail = up_convs and C.phase_tail_ok(
+            params, f"model.{up_convs[-1]}", factor=factor, up_mode=up_mode,
+            act_type=act_type, finalact=finalact)
+        for ci in (up_convs[:-1] if phase_tail else up_convs):
             h = C.apply_upsample_block(
                 params, h, f"model.{ci}", mode=up_mode, factor=factor,
                 act_type=act_type, act_key=f"model.{ci + act_off}")
+        if phase_tail:
+            # last upsample block + HR convs in phase space (nn/phase.py)
+            h = C.apply_phase_tail(
+                params, h, up_key=f"model.{up_convs[-1]}", up_mode=up_mode,
+                act_type=act_type, hr0=hr0, finalact=finalact)
+            return _outm(h, outm)
         h = F.act(act_type, C.conv3x3(params, h, f"model.{hr0}"),
                   params=params, key=f"model.{hr0 + 1}")
         h = C.conv3x3(params, h, f"model.{hr0 + 2}")

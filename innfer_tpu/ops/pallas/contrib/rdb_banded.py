@@ -43,10 +43,24 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from innfer_tpu.ops.pallas.rdb import _pack_source_weights
-
 HALO = 5
 LANE = 128
+
+
+def _pack_source_weights(weights, nf: int, gc: int):
+    """Per-source K-packed 9-tap weights in FORWARD target order
+    [x_{s+1} | ... | x5] (this shelved kernel's accumulator slices assume
+    it; the production rdb.py switched to reversed packing round 3)."""
+    packed = []
+    for s in range(5):
+        c_s = nf if s == 0 else gc
+        lo = 0 if s == 0 else nf + (s - 1) * gc
+        parts = [weights[c - 1][:, :, lo: lo + c_s, :]
+                 for c in range(s + 1, 6)]
+        cat = jnp.concatenate(parts, axis=-1)          # (3, 3, C_s, N_s)
+        dy, dx, ci, n = cat.shape
+        packed.append(cat.reshape(dy * dx * ci, n))
+    return packed
 
 
 def _roll(v: jax.Array, k: int) -> jax.Array:

@@ -45,12 +45,18 @@ def _pack_source_weights(weights: List[jax.Array], nf: int, gc: int):
     """Per-source fully-K-packed 9-tap weights: wt[s] (9*C_s, N_s).
 
     Row order is (dy, dx, channel), matching the in-kernel 9-way shifted
-    concat of the source."""
+    concat of the source.  Target columns are packed in REVERSED order
+    [x5 | x4 | ... | x_{s+1}]: the suffix accumulator then keeps every
+    SURVIVING target at a column prefix, so the per-stage shrink is a
+    free offset-0 slice and only the narrow (pp, gc) activation tail
+    needs a layout-canonicalizing roll (see _rdb_compute; the forward
+    packing's wide drop-column lane-rolls measured as the kernel's
+    single largest VPU cost, tools/kernel_cost_sweep.py round 3)."""
     packed = []
     for s in range(5):
         c_s = nf if s == 0 else gc
         lo = 0 if s == 0 else nf + (s - 1) * gc
-        parts = [weights[c - 1][:, :, lo: lo + c_s, :] for c in range(s + 1, 6)]
+        parts = [weights[c - 1][:, :, lo: lo + c_s, :] for c in range(5, s, -1)]
         cat = jnp.concatenate(parts, axis=-1)          # (3, 3, C_s, N_s)
         dy, dx, ci, n = cat.shape
         packed.append(cat.reshape(dy * dx * ci, n))
@@ -106,7 +112,7 @@ def _tile_valid_mask(by, bx, *, bh, bw, wp, pp, t_h, t_w, halo):
 def _rdb_compute(
     x_vm_slot, by, bx, wt0, wt1, wt2, wt3, wt4, bias, w1x1,
     *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
-    neg_slope: float, canon: bool = False,
+    neg_slope: float,
 ):
     """The conv-chain body shared by the serial and pipelined drivers:
     VMEM canvas in, (bh, bw, LANE) block value out."""
@@ -143,48 +149,44 @@ def _rdb_compute(
         return acc + jnp.dot(_shift_rows(trio, wp), w[6 * c_s:],
                              preferred_element_type=jnp.float32)
 
-    def drop_cols(v, k):
-        """Canonical (pp, N-k) value of v[:, k:].  A plain column slice
-        would carry a lane-offset layout that poisons later elementwise
-        adds; one net -k f32 lane-roll materializes offset 0, so the
-        slice below is layout-canonical."""
+    def tail_act(v):
+        """Activation of the CURRENT target: the last gc accumulator
+        columns.  The column slice carries a lane-offset layout; a
+        net-zero f32 double-roll on the narrow (pp, gc) value forces
+        offset 0 (the memory-cheap direction: canonicalizing here moves
+        gc f32 lanes instead of lane-rolling the whole wide accumulator,
+        which measured as the kernel's largest VPU cost)."""
         n = v.shape[1]
-        return pltpu.roll(v, n - k, 1)[:, : n - k]
-
-    def act(pre):
+        pre = v[:, n - gc:]
+        pre = pltpu.roll(pltpu.roll(pre, gc // 2, 1), gc - gc // 2, 1)
         a = jnp.where(pre >= 0, pre, pre * neg_slope)
         a = jnp.where(valid, a, 0.0)
-        if canon:
-            # the old monolithic-accumulator scheme needed a net-zero
-            # double-roll here to fix lane-offset layouts from column
-            # slices; the suffix accumulator's R[:, :gc] slices sit at
-            # offset 0 already, so this is OFF by default (bit-exact and
-            # +2.5% measured on-chip; the flag remains for A/B)
-            a = _canon(a, pp)
         return a.astype(xf.dtype)
 
-    # Suffix accumulation: R holds the fp32 pre-activation partial sums of
-    # the REMAINING targets only (source s's packed weights produce exactly
-    # those columns), shrinking 192->160->128->96->64.  The earlier
-    # monolithic (pp, n_total) accumulator + zero-pad-concat per stage
-    # moved ~2x the VMEM bytes for the same math.
+    # Suffix accumulation, reversed packing: R holds the fp32 pre-
+    # activation partial sums of the REMAINING targets as [x5 | x4 | ...
+    # | x_{s+1}], shrinking 192->160->128->96->64.  Each stage's shrink
+    # is a free offset-0 prefix slice; only the gc-wide activation tail
+    # pays a canonicalization roll (tools/kernel_cost_sweep.py: the
+    # forward packing's wide lane-rolls cost ~16 TF/s of the ~27 TF/s
+    # gap to the inflation ceiling).
     R = jnp.broadcast_to(bias[:], (pp, n_total)).astype(jnp.float32)
     R = R + source_contrib(xf, wt0)
-    x1 = act(R[:, :gc])
-    R = drop_cols(R, gc) + source_contrib(x1, wt1)
-    x2 = act(R[:, :gc])
+    x1 = tail_act(R)
+    R = R[:, : n_total - gc] + source_contrib(x1, wt1)
+    x2 = tail_act(R)
     if plus:
         p = jnp.dot(xf, w1x1[:], preferred_element_type=jnp.float32)
         x2 = x2 + jnp.where(valid, p, 0.0).astype(xf.dtype)
-    R = drop_cols(R, gc) + source_contrib(x2, wt2)
-    x3 = act(R[:, :gc])
-    R = drop_cols(R, gc) + source_contrib(x3, wt3)
-    x4 = act(R[:, :gc])
+    R = R[:, : n_total - 2 * gc] + source_contrib(x2, wt2)
+    x3 = tail_act(R)
+    R = R[:, : n_total - 3 * gc] + source_contrib(x3, wt3)
+    x4 = tail_act(R)
     if plus:
         x4 = x4 + x2
-    R = drop_cols(R, gc) + source_contrib(x4, wt4)
+    R = R[:, :nf] + source_contrib(x4, wt4)
 
-    x5 = R[:, :nf]
+    x5 = R
     out = (x5 * 0.2 + xf.astype(jnp.float32)).astype(xf.dtype)
     # pad lanes back to 128 so the HBM DMA slice is lane-aligned
     out = jnp.concatenate(
@@ -198,7 +200,7 @@ def _rdb_kernel(
     xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, _out_buf, out_ref,
     x_vm, out_vm, sem, sem_out,
     *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
-    neg_slope: float, acc_dtype, canon: bool = False,
+    neg_slope: float, acc_dtype,
 ):
     """Serial driver: blocking DMA in -> compute -> blocking DMA out."""
     by = pl.program_id(1)
@@ -215,7 +217,7 @@ def _rdb_kernel(
     out_vm[:] = _rdb_compute(
         x_vm, by, bx, wt0, wt1, wt2, wt3, wt4, bias, w1x1,
         nf=nf, gc=gc, bh=bh, bw=bw, t_h=t_h, t_w=t_w, plus=plus,
-        neg_slope=neg_slope, canon=canon,
+        neg_slope=neg_slope,
     )
     cpo = pltpu.make_async_copy(
         out_vm,
@@ -231,7 +233,6 @@ def _rdb_kernel_pipelined(
     x_vm, out_vm, sem_in, sem_out,
     *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
     neg_slope: float, acc_dtype, nby: int, nbx: int, total: int,
-    canon: bool = False,
 ):
     """Double-buffered driver: the input DMA for block i+1 and the output
     DMA for block i both run while block i+1's neighbors compute, hiding
@@ -285,7 +286,7 @@ def _rdb_kernel_pipelined(
     blk = _rdb_compute(
         x_vm.at[slot], by, bx, wt0, wt1, wt2, wt3, wt4, bias, w1x1,
         nf=nf, gc=gc, bh=bh, bw=bw, t_h=t_h, t_w=t_w, plus=plus,
-        neg_slope=neg_slope, canon=canon,
+        neg_slope=neg_slope,
     )
 
     @pl.when(i >= 2)
@@ -358,7 +359,6 @@ def fused_rdb(
     neg_slope: float = 0.2,
     interpret: bool = False,
     pipelined: bool = True,
-    canon: bool = False,
 ) -> jax.Array:
     """One fused ResidualDenseBlock_5C forward.
 
@@ -375,7 +375,10 @@ def fused_rdb(
     )
 
     wt = _pack_source_weights(weights, nf, gc)
-    bias_vec = jnp.concatenate([bs.astype(jnp.float32) for bs in biases])[None, :]
+    # reversed target order [b5 | b4 | ... | b1], matching the packed
+    # weight columns (see _pack_source_weights)
+    bias_vec = jnp.concatenate(
+        [bs.astype(jnp.float32) for bs in reversed(biases)])[None, :]
     w1 = (
         conv1x1_w.reshape(nf, gc)
         if (plus and conv1x1_w is not None)
@@ -395,13 +398,13 @@ def fused_rdb(
         kernel = functools.partial(
             _rdb_kernel_pipelined, nf=nf, gc=gc, bh=bh, bw=bw, t_h=th,
             t_w=tw, plus=plus, neg_slope=neg_slope, acc_dtype=acc_dtype,
-            nby=nby, nbx=nbx, total=b * nby * nbx, canon=canon,
+            nby=nby, nbx=nbx, total=b * nby * nbx,
         )
         nslots = 2
     else:
         kernel = functools.partial(
             _rdb_kernel, nf=nf, gc=gc, bh=bh, bw=bw, t_h=th, t_w=tw,
-            plus=plus, neg_slope=neg_slope, acc_dtype=acc_dtype, canon=canon,
+            plus=plus, neg_slope=neg_slope, acc_dtype=acc_dtype,
         )
         nslots = 0
     return pl.pallas_call(
