@@ -28,6 +28,7 @@ post-activation placement.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -39,6 +40,16 @@ from jax.experimental.pallas import tpu as pltpu
 HALO = 5          # receptive radius of 5 chained 3x3 convs
 LANE = 128        # TPU lane width
 W_SLACK = 6       # extra right-pad so the DMA window width is 8-aligned
+
+# Layout canonicalization of the suffix accumulator's activation tail
+# slice: "none" = trust Mosaic's implicit relayout (default; measured
+# faster AND exact on this backend: 45.0 vs 40.9 TF/s same-window with
+# identical parity, tools/out/tail_canon_ab.json, and bit-exact vs the
+# canonicalized form in an earlier A/B), "axis0" = net-zero f32
+# double-roll (the round-3 form; keep as a fallback if a future
+# backend/jax rev reintroduces the "offset mismatch on non-concat
+# dimension" Mosaic error this guarded against).
+TAIL_CANON = os.environ.get("INNFER_TAIL_CANON", "none")
 
 
 def _pack_source_weights(weights: List[jax.Array], nf: int, gc: int):
@@ -151,14 +162,18 @@ def _rdb_compute(
 
     def tail_act(v):
         """Activation of the CURRENT target: the last gc accumulator
-        columns.  The column slice carries a lane-offset layout; a
-        net-zero f32 double-roll on the narrow (pp, gc) value forces
-        offset 0 (the memory-cheap direction: canonicalizing here moves
-        gc f32 lanes instead of lane-rolling the whole wide accumulator,
-        which measured as the kernel's largest VPU cost)."""
+        columns.  The column slice carries a lane-offset layout; with
+        the reversed-suffix packing Mosaic's implicit relayout handles
+        it correctly and FASTER than forcing offset 0 ourselves
+        (TAIL_CANON="none", 45.0 vs 40.9 TF/s same-window, exact
+        parity — tools/out/tail_canon_ab.json).  The "axis0" fallback
+        is the round-3 explicit canonicalization: an axis-0 net-zero
+        f32 double-roll on the narrow (pp, gc) value (an axis-1 lane
+        double-roll measured CATASTROPHIC, 31.6 vs 43.3 TF/s)."""
         n = v.shape[1]
         pre = v[:, n - gc:]
-        pre = pltpu.roll(pltpu.roll(pre, gc // 2, 1), gc - gc // 2, 1)
+        if TAIL_CANON == "axis0":
+            pre = _canon(pre, pp)
         a = jnp.where(pre >= 0, pre, pre * neg_slope)
         a = jnp.where(valid, a, 0.0)
         return a.astype(xf.dtype)
