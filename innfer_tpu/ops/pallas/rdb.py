@@ -462,8 +462,10 @@ def fused_rdb(
         ),
         compiler_params=pltpu.CompilerParams(
             # the backend's default VMEM budget is far below the chip's
-            # physical VMEM; without this, outputs+values "OOM" spuriously
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # physical VMEM; without this, outputs+values "OOM" spuriously.
+            # Env-tunable for block-size sweeps (tools/strip_height_ab.py).
+            vmem_limit_bytes=int(os.environ.get("INNFER_VMEM_MB", "100"))
+            * 1024 * 1024,
         ),
         interpret=interpret,
     )(xp, wt[0], wt[1], wt[2], wt[3], wt[4], bias_vec, w1,

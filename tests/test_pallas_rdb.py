@@ -127,3 +127,18 @@ def test_pallas_backend_gate(rng):
     with pytest.raises(ValueError):
         _rrdb({}, x, "p", nr=3, act_type="leakyrelu", plus=False,
               backend="pallas")
+
+
+def test_tail_canon_modes_agree(rng, monkeypatch):
+    """TAIL_CANON='none' (production) and 'axis0' (fallback) are the same
+    math; pin bit-equality so the fallback stays usable if a Mosaic
+    regression ever forces it back on (tools/out/tail_canon_ab.json)."""
+    import innfer_tpu.ops.pallas.rdb as R
+    ws, bs = _make_rdb(rng, 64, 32)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 64)).astype(np.float32))
+    outs = {}
+    for mode in ("none", "axis0"):
+        monkeypatch.setattr(R, "TAIL_CANON", mode)
+        outs[mode] = np.asarray(
+            R.fused_rdb(x, ws, bs, gc=32, block=(16, 16), interpret=True))
+    np.testing.assert_array_equal(outs["none"], outs["axis0"])
