@@ -65,11 +65,14 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     i_conv2 = i_conv1 + 3 + int(use_dropout) + int(has_pad)
 
     # 'pallas' opts into the fused whole-block kernel.  NOT auto-enabled:
-    # standalone it matches XLA (~104 ms / 9-block 8-slab chain, see
-    # tools/resnet_block_ab.py), but embedded in some tiled graphs
-    # (tile 192 / slab 48x48, 2 dispatch groups) the auto variant measured
-    # ~9x slower than XLA (ONCHIP r3 cg section) — un-diagnosed backend
-    # interaction; tools/cg_tiled_ab.py isolates it.
+    # the systematic tiled sweep (tools/cg_tiled_ab.py ->
+    # tools/out/cg_tiled_ab.json) measured it within noise of XLA at every
+    # tiled config (434.8 vs 424.0 ms at tile 256 / 1 group, 458.0 vs
+    # 440.3 at tile 192 / 2 groups, ...): CycleGAN at these slab sizes is
+    # bound by this backend's per-launch/dispatch floor, not by the HBM
+    # passes the fusion removes, so the kernel buys nothing in-product.
+    # (An earlier one-off ~9x slowdown at tile 192 did NOT reproduce in
+    # the sweep.)  Kept for backends where the floor is lower.
     backend = cfg.get("backend", "xla")  # xla | pallas
 
     def res_block(params, x, prefix):
