@@ -51,6 +51,14 @@ W_SLACK = 6       # extra right-pad so the DMA window width is 8-aligned
 # dimension" Mosaic error this guarded against).
 TAIL_CANON = os.environ.get("INNFER_TAIL_CANON", "none")
 
+# PERF-ABLATION ONLY (tools/kernel_cost_sweep.py): "suffix" is the
+# correct math (activation tail = last gc accumulator columns, a
+# lane-offset slice); "prefix" reads the first gc columns instead —
+# WRONG RESULTS, but the offset-0 slice needs no implicit relayout, so
+# (base - prefix_tail) isolates what Mosaic's relayout of the offset
+# slice costs.
+TAIL_SLICE = "suffix"
+
 
 def _pack_source_weights(weights: List[jax.Array], nf: int, gc: int):
     """Per-source fully-K-packed 9-tap weights: wt[s] (9*C_s, N_s).
@@ -171,7 +179,7 @@ def _rdb_compute(
         f32 double-roll on the narrow (pp, gc) value (an axis-1 lane
         double-roll measured CATASTROPHIC, 31.6 vs 43.3 TF/s)."""
         n = v.shape[1]
-        pre = v[:, n - gc:]
+        pre = v[:, :gc] if TAIL_SLICE == "prefix" else v[:, n - gc:]
         if TAIL_CANON == "axis0":
             pre = _canon(pre, pp)
         a = jnp.where(pre >= 0, pre, pre * neg_slope)

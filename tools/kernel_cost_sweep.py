@@ -5,14 +5,20 @@ inflation ceiling (raw matmul peak 120-137 / 1.23 inflation).  This tool
 measures, in ONE time window, kernel variants with individual data-
 movement components disabled (WRONG MATH — perf only):
 
-  base    the production kernel
-  nodx    dx +-1 source shifts disabled (the two f32 pltpu.roll per source)
-  nody    dy +-wp trio shifts disabled (the tile-aligned slice+concats)
-  nodrop  drop_cols lane-roll disabled (suffix accumulator shrink)
-  floor   all three disabled: dots + acc adds + act/mask + DMA only
+  base         the production kernel (reversed-suffix acc, tail canon none)
+  nodx         dx +-1 source shifts disabled (two f32 pltpu.roll per source)
+  prefix_tail  activation tail reads the offset-0 PREFIX slice instead of
+               the lane-offset suffix (isolates Mosaic's implicit relayout
+               of the offset slice)
+  floor        all shifts disabled: dots + acc adds + act/mask + DMA only
+  prefix_floor floor + prefix tail: the full no-data-movement ceiling
 
-The (base - variant) deltas rank the VPU costs; `floor` is the realistic
-target if shifts were free.  Writes tools/out/kernel_cost_sweep.json.
+The (base - variant) deltas rank the VPU costs.  History: the round-3
+sweep of the OLD kernel (monolithic acc + wide drop-col lane-rolls)
+measured base 43.3 / nodx 46.7 / nody 43.4 / nodrop 59.9 / floor 70.3
+at peak 135.3 — which motivated the reversed-suffix accumulator, but the
+shipped form only reached ~45: this sweep finds the residue.
+Writes tools/out/kernel_cost_sweep.json.
 
 Usage:  nohup python tools/kernel_cost_sweep.py > /tmp/costsweep.log 2>&1 &
 """
@@ -30,7 +36,6 @@ def main():
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from jax.experimental.pallas import tpu as real_pltpu
 
     import innfer_tpu.ops.pallas.rdb as R
 
@@ -63,37 +68,23 @@ def main():
     print("peak", results["matmul_peak_tfs"], flush=True)
 
     # --- ablation machinery ---
-    class PltpuProxy:
-        """pltpu with roll(axis=1) (drop_cols' lane-roll) made a no-op."""
-
-        def __getattr__(self, name):
-            return getattr(real_pltpu, name)
-
-        @staticmethod
-        def roll(v, shift, axis=0):
-            if axis == 1:
-                return v
-            return real_pltpu.roll(v, shift, axis)
-
     def shift_nodx(v, k):
         if k % 16 != 0:
-            return v
-        return orig_shift(v, k)
-
-    def shift_nody(v, k):
-        if k != 0 and k % 16 == 0:
             return v
         return orig_shift(v, k)
 
     def shift_none(v, k):
         return v
 
+    # (shift_fn, tail_slice) per variant; the old PltpuProxy axis-1
+    # ablation is obsolete (the reversed-suffix kernel has no axis-1
+    # rolls left)
     variants = {
-        "base": (orig_shift, real_pltpu),
-        "nodx": (shift_nodx, real_pltpu),
-        "nody": (shift_nody, real_pltpu),
-        "nodrop": (orig_shift, PltpuProxy()),
-        "floor": (shift_none, PltpuProxy()),
+        "base": (orig_shift, "suffix"),
+        "nodx": (shift_nodx, "suffix"),
+        "prefix_tail": (orig_shift, "prefix"),
+        "floor": (shift_none, "suffix"),
+        "prefix_floor": (shift_none, "prefix"),
     }
 
     # --- trunk weights ---
@@ -115,9 +106,9 @@ def main():
 
     from innfer_tpu.ops.pallas.rdb import fused_rdb
 
-    for name, (shift_fn, pltpu_mod) in variants.items():
+    for name, (shift_fn, tail_slice) in variants.items():
         R._shift_rows = shift_fn
-        R.pltpu = pltpu_mod
+        R.TAIL_SLICE = tail_slice
         try:
             t_compile = time.perf_counter()
             run = jax.jit(lambda t: lax.scan(
@@ -134,7 +125,7 @@ def main():
             results[name] = {"error": f"{type(e).__name__}: {str(e)[:250]}"}
         finally:
             R._shift_rows = orig_shift
-            R.pltpu = real_pltpu
+            R.TAIL_SLICE = "suffix"
         print(name, results[name], flush=True)
 
     os.makedirs("tools/out", exist_ok=True)
