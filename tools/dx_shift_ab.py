@@ -1,5 +1,11 @@
 """On-chip A/B: bf16 pair-packed +-1 row shifts vs the f32-roll form.
 
+STATUS (round 3): NEGATIVE.  The packed form is bit-exact (parity 0.0)
+but measured 34.7 vs 45.2 TF/s for the stock f32-roll kernel in the same
+window (tools/out/dx_shift_ab.json) — the uint32 shift/or/combine ops
+cost Mosaic more than the two f32 rolls they replace.  Keep the f32-roll
+_shift_rows; this tool documents the probed dead end.
+
 The fused RDB's dx +-1 source shifts cost ~3.4 TF/s (kernel_cost_sweep
 nodx).  They currently cast bf16 -> f32, pltpu.roll, cast back (Mosaic's
 dynamic_rotate is 32-bit only).  A bf16 (pp, c) value bitcast to int32
