@@ -59,6 +59,14 @@ TAIL_CANON = os.environ.get("INNFER_TAIL_CANON", "none")
 # slice costs.
 TAIL_SLICE = "suffix"
 
+# Experiment hook (exact math either way): pack the WIDE first source's
+# nine taps into ONE K=9*nf dot instead of three K=3*nf dots.  MXU K
+# padding drops from 4/3 (192->256, x3) to 10/9 (576->640) on the source
+# that carries 46% of RDB FLOPs, at the price of materializing the
+# (pp, 9*nf) im2col concat in VMEM.  Round 2 measured the concat a net
+# loss on the OLD kernel; re-probed by tools/kernel_cost_sweep.py.
+SRC0_PACK9 = False
+
 
 def _pack_source_weights(weights: List[jax.Array], nf: int, gc: int):
     """Per-source fully-K-packed 9-tap weights: wt[s] (9*C_s, N_s).
@@ -156,6 +164,13 @@ def _rdb_compute(
             [_shift_rows(src, -1), src, _shift_rows(src, 1)], axis=1
         )  # (pp, 3*c_s): [src[j-1], src[j], src[j+1]]
         w = wt_ref[:]
+        if SRC0_PACK9 and c_s == nf:
+            # one K=9*nf dot for the wide source (see SRC0_PACK9 above);
+            # row order (dy, dx, ci) matches the dy-concat of dx trios
+            im9 = jnp.concatenate(
+                [_shift_rows(trio, -wp), trio, _shift_rows(trio, wp)],
+                axis=1)
+            return jnp.dot(im9, w, preferred_element_type=jnp.float32)
         # One dot per vertical tap instead of materializing the full
         # (pp, 9*c_s) im2col: the 9-wide concat costs an extra write+read
         # of ~7 MB/source of VMEM traffic per block, while three K=3*c_s

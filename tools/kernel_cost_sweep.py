@@ -12,6 +12,8 @@ movement components disabled (WRONG MATH — perf only):
                of the offset slice)
   floor        all shifts disabled: dots + acc adds + act/mask + DMA only
   prefix_floor floor + prefix tail: the full no-data-movement ceiling
+  src0_pack9   EXACT variant: wide source as one K=9*nf dot (MXU K-pad
+               10/9 instead of 4/3 on 46% of FLOPs, vs a 9-wide concat)
 
 The (base - variant) deltas rank the VPU costs.  History: the round-3
 sweep of the OLD kernel (monolithic acc + wide drop-col lane-rolls)
@@ -80,11 +82,13 @@ def main():
     # ablation is obsolete (the reversed-suffix kernel has no axis-1
     # rolls left)
     variants = {
-        "base": (orig_shift, "suffix"),
-        "nodx": (shift_nodx, "suffix"),
-        "prefix_tail": (orig_shift, "prefix"),
-        "floor": (shift_none, "suffix"),
-        "prefix_floor": (shift_none, "prefix"),
+        "base": (orig_shift, "suffix", False),
+        "nodx": (shift_nodx, "suffix", False),
+        "prefix_tail": (orig_shift, "prefix", False),
+        "floor": (shift_none, "suffix", False),
+        "prefix_floor": (shift_none, "prefix", False),
+        # exact math (not an ablation): wide-source 9-tap K-pack
+        "src0_pack9": (orig_shift, "suffix", True),
     }
 
     # --- trunk weights ---
@@ -106,9 +110,10 @@ def main():
 
     from innfer_tpu.ops.pallas.rdb import fused_rdb
 
-    for name, (shift_fn, tail_slice) in variants.items():
+    for name, (shift_fn, tail_slice, pack9) in variants.items():
         R._shift_rows = shift_fn
         R.TAIL_SLICE = tail_slice
+        R.SRC0_PACK9 = pack9
         try:
             t_compile = time.perf_counter()
             run = jax.jit(lambda t: lax.scan(
@@ -126,6 +131,7 @@ def main():
         finally:
             R._shift_rows = orig_shift
             R.TAIL_SLICE = "suffix"
+            R.SRC0_PACK9 = False
         print(name, results[name], flush=True)
 
     os.makedirs("tools/out", exist_ok=True)
