@@ -18,6 +18,7 @@ blocks), model.1.sub.<nb> (LR conv), positional upsample/HR convs after.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
@@ -244,9 +245,43 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     def apply(params, x: jax.Array) -> jax.Array:
         fea = C.conv3x3(params, x, "model.0")
         t = fea
-        for i in range(nb):
-            t = _rrdb(params, t, f"model.1.sub.{i}", nr=nr, act_type=act_type,
-                      plus=plus, backend=backend, norm_type=norm_type)
+        rdb_names = (("RDB1", "RDB2", "RDB3") if nr == 3
+                     else tuple(f"RDBs.{i}" for i in range(nr)))
+        # Padded-persistent chain: when the fused Pallas RDB would fire,
+        # run the WHOLE nb-RRDB trunk through fused_rrdb_trunk instead of
+        # per-RDB fused_rdb calls — pad once, donate buffers between the
+        # nb*nr kernel calls, RRDB residual fused in-kernel.  Removes the
+        # per-call jnp.pad + output-slice HBM glue (~0.5 GB/call at
+        # headline group sizes).  OPT-IN (INNFER_RDB_CHAIN=1) until the
+        # on-chip A/B (tools/chain_ab.py) proves it: a first probe showed
+        # a pathological 18s forward at b=8 that needs a clean diagnosis.
+        use_chain = (
+            backend in ("auto", "pallas")
+            and norm_type in (None, "none")
+            and os.environ.get("INNFER_RDB_CHAIN", "0") == "1"
+            and f"model.1.sub.0.{rdb_names[0]}.conv1.0.bias" in params
+            and (_use_pallas(t, act_type) if backend == "auto"
+                 else _pallas_ok(t, act_type)))
+        if use_chain:
+            from innfer_tpu.ops.pallas.rdb import fused_rrdb_trunk
+
+            key = lambda i, n, c, leaf: f"model.1.sub.{i}.{n}.conv{c}.0.{leaf}"
+            tw_ = [[[params[key(i, n, c, "weight")] for c in range(1, 6)]
+                    for n in rdb_names] for i in range(nb)]
+            tb_ = [[[params[key(i, n, c, "bias")] for c in range(1, 6)]
+                    for n in rdb_names] for i in range(nb)]
+            w1_ = ([[params[f"model.1.sub.{i}.{n}.conv1x1.weight"]
+                     .reshape(t.shape[-1], -1)
+                     for n in rdb_names] for i in range(nb)]
+                   if plus else None)
+            gc_ = int(tw_[0][0][0].shape[-1])
+            t = fused_rrdb_trunk(t, tw_, tb_, nb=nb, nr=nr, gc=gc_,
+                                 plus=plus, conv1x1_ws=w1_)
+        else:
+            for i in range(nb):
+                t = _rrdb(params, t, f"model.1.sub.{i}", nr=nr,
+                          act_type=act_type, plus=plus, backend=backend,
+                          norm_type=norm_type)
         # LR_conv: mode/norm-dependent layout, flattened into the trunk
         # sequential at positional base nb (RRDBNet_arch.py:29)
         t = C.apply_conv_block(

@@ -40,6 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 HALO = 5          # receptive radius of 5 chained 3x3 convs
 LANE = 128        # TPU lane width
 W_SLACK = 6       # extra right-pad so the DMA window width is 8-aligned
+# Chain mode (fused_rrdb_trunk) keeps activations in a persistent padded
+# layout between RDB calls; its column margins are 8 (5 halo + 3 align)
+# on BOTH sides so the interior write DMA starts on an 8-sublane boundary
+# (8 + bw*j).  Total padded width is tw + 16 — identical to the standard
+# mode's 5 + 5 + W_SLACK, so canvas and scratch shapes are shared.
+COL_MARGIN = 8
 
 # Layout canonicalization of the suffix accumulator's activation tail
 # slice: "none" = trust Mosaic's implicit relayout (default; measured
@@ -122,27 +128,33 @@ def _canon(a: jax.Array, pp: int) -> jax.Array:
     return pltpu.roll(pltpu.roll(a.astype(jnp.float32), 8, 0), pp - 8, 0)
 
 
-def _tile_valid_mask(by, bx, *, bh, bw, wp, pp, t_h, t_w, halo):
+def _tile_valid_mask(by, bx, *, bh, bw, wp, pp, t_h, t_w, halo, col_off):
     """(pp, 1) mask of canvas positions whose GLOBAL coords fall inside the
     tile: everything else must read as zero for the next conv (the
-    reference zero-pads every conv at the tile extent)."""
+    reference zero-pads every conv at the tile extent).  ``col_off`` is
+    the padded-layout column where tile content starts (HALO in standard
+    mode, COL_MARGIN in chain mode)."""
     rowid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) // wp
     colid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) % wp
     g_row = by * bh + rowid
     g_col = bx * bw + colid
     return (
         (g_row >= halo) & (g_row < halo + t_h)
-        & (g_col >= halo) & (g_col < halo + t_w)
+        & (g_col >= col_off) & (g_col < col_off + t_w)
     )
 
 
 def _rdb_compute(
     x_vm_slot, by, bx, wt0, wt1, wt2, wt3, wt4, bias, w1x1,
     *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
-    neg_slope: float,
+    neg_slope: float, col_off: int = HALO, res_vm_slot=None,
 ):
     """The conv-chain body shared by the serial and pipelined drivers:
-    VMEM canvas in, (bh, bw, LANE) block value out."""
+    VMEM canvas in, (bh, bw, LANE) block value out.
+
+    ``res_vm_slot``: optional (bh, bw, LANE) residual block; when given
+    the return is rdb(x)*0.2 + res (the RRDB residual fused in, chain
+    mode's last per-RRDB call)."""
     hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
     pp = hp * wp
     n_total = 4 * gc + nf
@@ -150,7 +162,7 @@ def _rdb_compute(
     xf = x_vm_slot[:].reshape(pp, LANE)[:, :nf]  # drop the lane padding
 
     valid = _tile_valid_mask(by, bx, bh=bh, bw=bw, wp=wp, pp=pp,
-                             t_h=t_h, t_w=t_w, halo=HALO)
+                             t_h=t_h, t_w=t_w, halo=HALO, col_off=col_off)
 
     def source_contrib(src, wt_ref):
         """Per-source K-packed matmuls; the 9-tap im2col exists only as a
@@ -231,16 +243,34 @@ def _rdb_compute(
         [out, jnp.zeros((pp, LANE - nf), out.dtype)], axis=1
     )
     out3 = out.reshape(hp, wp, LANE)
-    return out3[HALO: HALO + bh, HALO: HALO + bw, :]
+    blk = out3[HALO: HALO + bh, col_off: col_off + bw, :]
+    if res_vm_slot is not None:
+        # fused RRDB residual: rdb(x)*0.2 + res, in the activation dtype
+        # (matches the XLA path's bf16 arithmetic order).  res lanes
+        # nf..LANE are zero by the chain invariant, so the padding lanes
+        # stay zero.
+        blk = blk * jnp.asarray(0.2, blk.dtype) + res_vm_slot[:]
+    return blk
 
 
 def _rdb_kernel(
-    xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, _out_buf, out_ref,
-    x_vm, out_vm, sem, sem_out,
-    *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
-    neg_slope: float, acc_dtype,
+    xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, res_hbm, _out_buf, out_ref,
+    *scratch,
+    nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
+    neg_slope: float, acc_dtype, has_res: bool = False,
+    col_off: int = HALO, out_ro: int = 0, out_co: int = 0,
 ):
-    """Serial driver: blocking DMA in -> compute -> blocking DMA out."""
+    """Serial driver: blocking DMA in -> compute -> blocking DMA out.
+
+    Chain mode (has_res / padded out offsets): the output window lands at
+    (out_ro + by*bh, out_co + bx*bw) inside a padded-layout buffer, and
+    the optional residual block is read from the same window of res_hbm.
+    """
+    if has_res:
+        x_vm, out_vm, res_vm, sem, sem_out, sem_res = scratch
+    else:
+        x_vm, out_vm, sem, sem_out = scratch
+        res_vm = None
     by = pl.program_id(1)
     bx = pl.program_id(2)
     hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
@@ -250,16 +280,25 @@ def _rdb_kernel(
         x_vm, sem,
     )
     cp.start()
+    if has_res:
+        cpr = pltpu.make_async_copy(
+            res_hbm.at[pl.program_id(0), pl.ds(out_ro + by * bh, bh),
+                       pl.ds(out_co + bx * bw, bw), :],
+            res_vm, sem_res,
+        )
+        cpr.start()
+        cpr.wait()
     cp.wait()
 
     out_vm[:] = _rdb_compute(
         x_vm, by, bx, wt0, wt1, wt2, wt3, wt4, bias, w1x1,
         nf=nf, gc=gc, bh=bh, bw=bw, t_h=t_h, t_w=t_w, plus=plus,
-        neg_slope=neg_slope,
+        neg_slope=neg_slope, col_off=col_off, res_vm_slot=res_vm,
     )
     cpo = pltpu.make_async_copy(
         out_vm,
-        out_ref.at[pl.program_id(0), pl.ds(by * bh, bh), pl.ds(bx * bw, bw), :],
+        out_ref.at[pl.program_id(0), pl.ds(out_ro + by * bh, bh),
+                   pl.ds(out_co + bx * bw, bw), :],
         sem_out,
     )
     cpo.start()
@@ -267,10 +306,12 @@ def _rdb_kernel(
 
 
 def _rdb_kernel_pipelined(
-    xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, _out_buf, out_ref,
-    x_vm, out_vm, sem_in, sem_out,
-    *, nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
+    xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, res_hbm, _out_buf, out_ref,
+    *scratch,
+    nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
     neg_slope: float, acc_dtype, nby: int, nbx: int, total: int,
+    has_res: bool = False, col_off: int = HALO, out_ro: int = 0,
+    out_co: int = 0,
 ):
     """Double-buffered driver: the input DMA for block i+1 and the output
     DMA for block i both run while block i+1's neighbors compute, hiding
@@ -283,48 +324,72 @@ def _rdb_kernel_pipelined(
     two).  Pallas TPU guarantees sequential grid iteration on one core and
     scratch/semaphore persistence across iterations, which is what makes
     this bookkeeping sound.
+
+    Chain mode (has_res / padded out offsets): output and residual
+    windows land at (out_ro + by*bh, out_co + bx*bw) inside padded-layout
+    buffers; the residual copy is double-buffered alongside the input.
     """
+    if has_res:
+        x_vm, out_vm, res_vm, sem_in, sem_out, sem_res = scratch
+    else:
+        x_vm, out_vm, sem_in, sem_out = scratch
+        res_vm = None
     hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
     per_img = nby * nbx
     pb, by, bx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     i = (pb * nby + by) * nbx + bx
     slot = jax.lax.rem(i, 2)
 
-    def in_copy(j, slot_j):
+    def _coords(j):
         pbj = jax.lax.div(j, per_img)
         rj = jax.lax.rem(j, per_img)
-        byj = jax.lax.div(rj, nbx)
-        bxj = jax.lax.rem(rj, nbx)
+        return pbj, jax.lax.div(rj, nbx), jax.lax.rem(rj, nbx)
+
+    def in_copy(j, slot_j):
+        pbj, byj, bxj = _coords(j)
         return pltpu.make_async_copy(
             xp_hbm.at[pbj, pl.ds(byj * bh, hp), pl.ds(bxj * bw, wp), :],
             x_vm.at[slot_j], sem_in.at[slot_j],
         )
 
+    def res_copy(j, slot_j):
+        pbj, byj, bxj = _coords(j)
+        return pltpu.make_async_copy(
+            res_hbm.at[pbj, pl.ds(out_ro + byj * bh, bh),
+                       pl.ds(out_co + bxj * bw, bw), :],
+            res_vm.at[slot_j], sem_res.at[slot_j],
+        )
+
     def out_copy(j, slot_j):
-        pbj = jax.lax.div(j, per_img)
-        rj = jax.lax.rem(j, per_img)
-        byj = jax.lax.div(rj, nbx)
-        bxj = jax.lax.rem(rj, nbx)
+        pbj, byj, bxj = _coords(j)
         return pltpu.make_async_copy(
             out_vm.at[slot_j],
-            out_ref.at[pbj, pl.ds(byj * bh, bh), pl.ds(bxj * bw, bw), :],
+            out_ref.at[pbj, pl.ds(out_ro + byj * bh, bh),
+                       pl.ds(out_co + bxj * bw, bw), :],
             sem_out.at[slot_j],
         )
 
     @pl.when(i == 0)
     def _():
         in_copy(i, slot).start()
+        if has_res:
+            res_copy(i, slot).start()
 
     @pl.when(i + 1 < total)
     def _():
         in_copy(i + 1, jax.lax.rem(i + 1, 2)).start()
+        if has_res:
+            res_copy(i + 1, jax.lax.rem(i + 1, 2)).start()
 
     in_copy(i, slot).wait()
+    if has_res:
+        res_copy(i, slot).wait()
 
     blk = _rdb_compute(
         x_vm.at[slot], by, bx, wt0, wt1, wt2, wt3, wt4, bias, w1x1,
         nf=nf, gc=gc, bh=bh, bw=bw, t_h=t_h, t_w=t_w, plus=plus,
-        neg_slope=neg_slope,
+        neg_slope=neg_slope, col_off=col_off,
+        res_vm_slot=None if res_vm is None else res_vm.at[slot],
     )
 
     @pl.when(i >= 2)
@@ -412,16 +477,9 @@ def fused_rdb(
         f"canvas width {wp} must be a 16-row tile multiple (pick bw in 16s)"
     )
 
-    wt = _pack_source_weights(weights, nf, gc)
-    # reversed target order [b5 | b4 | ... | b1], matching the packed
-    # weight columns (see _pack_source_weights)
-    bias_vec = jnp.concatenate(
-        [bs.astype(jnp.float32) for bs in reversed(biases)])[None, :]
-    w1 = (
-        conv1x1_w.reshape(nf, gc)
-        if (plus and conv1x1_w is not None)
-        else jnp.zeros((nf, gc), x.dtype)
-    ).astype(x.dtype)
+    wt, bias_vec, w1 = _prep_params(
+        weights, biases, nf=nf, gc=gc, plus=plus, conv1x1_w=conv1x1_w,
+        dtype=x.dtype)
 
     # zero pad: halo on all sides, extra right slack for DMA alignment, and
     # channel padding to the 128-lane tile
@@ -430,21 +488,74 @@ def fused_rdb(
         [(0, 0), (HALO, HALO), (HALO, HALO + W_SLACK), (0, LANE - nf)],
     )
 
+    out_buf = jnp.zeros((b, th, tw, LANE), x.dtype)
+    res = jnp.zeros((1, 1, 1, LANE), x.dtype)  # unused (has_res=False)
+    return _call_rdb(
+        xp, wt, bias_vec, w1, res, out_buf, nf=nf, gc=gc, bh=bh, bw=bw,
+        th=th, tw=tw, plus=plus, neg_slope=neg_slope, acc_dtype=acc_dtype,
+        interpret=interpret, pipelined=pipelined, padded_io=False,
+        has_res=False,
+    )[..., :nf]
+
+
+def _prep_params(weights, biases, *, nf, gc, plus, conv1x1_w, dtype):
+    """Pack weights/bias/conv1x1 for the kernel (see
+    _pack_source_weights): reversed target order [b5 | b4 | ... | b1]."""
+    wt = _pack_source_weights(weights, nf, gc)
+    bias_vec = jnp.concatenate(
+        [bs.astype(jnp.float32) for bs in reversed(biases)])[None, :]
+    w1 = (
+        conv1x1_w.reshape(nf, gc)
+        if (plus and conv1x1_w is not None)
+        else jnp.zeros((nf, gc), dtype)
+    ).astype(dtype)
+    return wt, bias_vec, w1
+
+
+def _call_rdb(
+    xp, wt, bias_vec, w1, res, out_buf, *, nf, gc, bh, bw, th, tw, plus,
+    neg_slope, acc_dtype, interpret, pipelined, padded_io, has_res,
+):
+    """Shared pallas_call constructor for the standard (unpadded output)
+    and chain (padded persistent layout) modes."""
+    b = xp.shape[0]
+    hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
+    col_off = COL_MARGIN if padded_io else HALO
+    out_ro = HALO if padded_io else 0
+    out_co = COL_MARGIN if padded_io else 0
     nby, nbx = th // bh, tw // bw
     grid = (b, nby, nbx)
     if pipelined and not interpret:
         kernel = functools.partial(
             _rdb_kernel_pipelined, nf=nf, gc=gc, bh=bh, bw=bw, t_h=th,
             t_w=tw, plus=plus, neg_slope=neg_slope, acc_dtype=acc_dtype,
-            nby=nby, nbx=nbx, total=b * nby * nbx,
+            nby=nby, nbx=nbx, total=b * nby * nbx, has_res=has_res,
+            col_off=col_off, out_ro=out_ro, out_co=out_co,
         )
         nslots = 2
     else:
         kernel = functools.partial(
             _rdb_kernel, nf=nf, gc=gc, bh=bh, bw=bw, t_h=th, t_w=tw,
             plus=plus, neg_slope=neg_slope, acc_dtype=acc_dtype,
+            has_res=has_res, col_off=col_off, out_ro=out_ro, out_co=out_co,
         )
         nslots = 0
+    if nslots:
+        scratch = [
+            pltpu.VMEM((nslots, hp, wp, LANE), xp.dtype),
+            pltpu.VMEM((nslots, bh, bw, LANE), xp.dtype),
+        ]
+        if has_res:
+            scratch.append(pltpu.VMEM((nslots, bh, bw, LANE), xp.dtype))
+        scratch += [pltpu.SemaphoreType.DMA((nslots,))] * (3 if has_res else 2)
+    else:
+        scratch = [
+            pltpu.VMEM((hp, wp, LANE), xp.dtype),
+            pltpu.VMEM((bh, bw, LANE), xp.dtype),
+        ]
+        if has_res:
+            scratch.append(pltpu.VMEM((bh, bw, LANE), xp.dtype))
+        scratch += [pltpu.SemaphoreType.DMA] * (3 if has_res else 2)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -459,6 +570,7 @@ def fused_rdb(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1x1
+            pl.BlockSpec(memory_space=pltpu.HBM),   # res: manual DMA
             pl.BlockSpec(memory_space=pltpu.HBM),   # donated output buffer
         ],
         # This backend stack-allocates pallas outputs in VMEM regardless of
@@ -466,23 +578,9 @@ def fused_rdb(
         # full result in HBM.  Blocks are DMA'd out manually with 128-lane
         # padding for alignment.
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=jax.ShapeDtypeStruct((b, th, tw, LANE), x.dtype),
-        input_output_aliases={8: 0},
-        scratch_shapes=(
-            [
-                pltpu.VMEM((nslots, hp, wp, LANE), x.dtype),
-                pltpu.VMEM((nslots, bh, bw, LANE), x.dtype),
-                pltpu.SemaphoreType.DMA((nslots,)),
-                pltpu.SemaphoreType.DMA((nslots,)),
-            ]
-            if nslots
-            else [
-                pltpu.VMEM((hp, wp, LANE), x.dtype),
-                pltpu.VMEM((bh, bw, LANE), x.dtype),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ]
-        ),
+        out_shape=jax.ShapeDtypeStruct(out_buf.shape, xp.dtype),
+        input_output_aliases={9: 0},
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             # the backend's default VMEM budget is far below the chip's
             # physical VMEM; without this, outputs+values "OOM" spuriously.
@@ -491,5 +589,116 @@ def fused_rdb(
             * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, wt[0], wt[1], wt[2], wt[3], wt[4], bias_vec, w1,
-      jnp.zeros((b, th, tw, LANE), x.dtype))[..., :nf]
+    )(xp, wt[0], wt[1], wt[2], wt[3], wt[4], bias_vec, w1, res, out_buf)
+
+
+def fused_rdb_padded(
+    xp: jax.Array,
+    weights: List[jax.Array],
+    biases: List[jax.Array],
+    out_buf: jax.Array,
+    *,
+    nf: int,
+    gc: int = 32,
+    res: Optional[jax.Array] = None,
+    plus: bool = False,
+    conv1x1_w: Optional[jax.Array] = None,
+    block: Optional[Tuple[int, int]] = None,
+    acc_dtype=jnp.float32,
+    neg_slope: float = 0.2,
+    interpret: bool = False,
+    pipelined: bool = True,
+) -> jax.Array:
+    """One fused RDB on a PERSISTENT padded-layout activation (chain mode).
+
+    ``xp``: (B, th + 2*HALO, tw + 2*COL_MARGIN, LANE) with tile content at
+    [HALO:HALO+th, COL_MARGIN:COL_MARGIN+tw, :nf] and ZERO everywhere else
+    (margins, right slack, lanes nf:LANE).  ``out_buf``: a dead same-shape
+    buffer with zero margins — it is DONATED (input_output_aliases) and its
+    interior fully overwritten, so the zero-margin invariant is preserved
+    by induction and NO jnp.pad / output slice happens between chained RDB
+    calls (the per-call pad+slice glue costs ~0.5 GB of HBM traffic per
+    call at headline group sizes — the motivation for this mode).
+
+    ``res``: optional padded-layout residual; when given the written
+    interior is rdb(xp)*0.2 + res (the RRDB residual fused into the last
+    per-RRDB call).  Returns the padded-layout output (alias of out_buf).
+    """
+    b = xp.shape[0]
+    th = xp.shape[1] - 2 * HALO
+    tw = xp.shape[2] - 2 * COL_MARGIN
+    assert xp.shape[3] == LANE, "chain mode requires 128-lane activations"
+    assert out_buf.shape == xp.shape, "out_buf must match the padded layout"
+    if block is None:
+        block = _auto_block(th, tw)
+    bh, bw = _pick_block(th, block[0]), _pick_block(tw, block[1])
+    wp = bw + 2 * HALO + W_SLACK
+    assert wp % 16 == 0, (
+        f"canvas width {wp} must be a 16-row tile multiple (pick bw in 16s)"
+    )
+    wt, bias_vec, w1 = _prep_params(
+        weights, biases, nf=nf, gc=gc, plus=plus, conv1x1_w=conv1x1_w,
+        dtype=xp.dtype)
+    has_res = res is not None
+    if res is None:
+        res = jnp.zeros((1, 1, 1, LANE), xp.dtype)
+    return _call_rdb(
+        xp, wt, bias_vec, w1, res, out_buf, nf=nf, gc=gc, bh=bh, bw=bw,
+        th=th, tw=tw, plus=plus, neg_slope=neg_slope, acc_dtype=acc_dtype,
+        interpret=interpret, pipelined=pipelined, padded_io=True,
+        has_res=has_res,
+    )
+
+
+def fused_rrdb_trunk(
+    x: jax.Array,
+    weights,  # [nb][nr][5] HWIO conv weights
+    biases,   # [nb][nr][5] bias vectors
+    *,
+    nb: int,
+    nr: int = 3,
+    gc: int = 32,
+    plus: bool = False,
+    conv1x1_ws=None,  # [nb][nr] 1x1 weights (ESRGAN+) or None
+    block: Optional[Tuple[int, int]] = None,
+    neg_slope: float = 0.2,
+    interpret: bool = False,
+    pipelined: bool = True,
+) -> jax.Array:
+    """The whole nb x RRDB trunk as a padded-persistent chain of fused RDB
+    calls (reference RRDBNet_arch.py:27-43,64-98: nb RRDBs, each
+    nr RDBs + out*0.2 + x).
+
+    Pads ONCE into the chain layout, rotates dead zero-margined buffers
+    through all nb*nr pallas calls (donation keeps everything in two
+    auxiliary buffers), fuses each RRDB's 0.2-residual into its last RDB
+    call as an extra block-window DMA, and slices the content back out
+    once at the end.  Eliminates the per-call pad/slice HBM glue of
+    calling :func:`fused_rdb` in a loop.
+    """
+    b, th, tw, nf = x.shape
+    xp = jnp.pad(
+        x, [(0, 0), (HALO, HALO), (COL_MARGIN, COL_MARGIN), (0, LANE - nf)])
+    pool = [jnp.zeros_like(xp), jnp.zeros_like(xp)]
+
+    def w1_of(r, c):
+        if not plus or conv1x1_ws is None:
+            return None
+        return conv1x1_ws[r][c]
+
+    for r in range(nb):
+        z = xp
+        for c in range(nr):
+            last = c == nr - 1
+            out_buf = pool.pop(0)
+            znew = fused_rdb_padded(
+                z, weights[r][c], biases[r][c], out_buf, nf=nf, gc=gc,
+                res=xp if last else None, plus=plus,
+                conv1x1_w=w1_of(r, c), block=block, neg_slope=neg_slope,
+                interpret=interpret, pipelined=pipelined)
+            if c > 0:
+                pool.append(z)  # intermediate activation: dead now
+            z = znew
+        pool.append(xp)  # rrdb input: dead once its residual is consumed
+        xp = z
+    return xp[:, HALO: HALO + th, COL_MARGIN: COL_MARGIN + tw, :nf]
