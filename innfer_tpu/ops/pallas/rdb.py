@@ -73,6 +73,23 @@ TAIL_SLICE = "suffix"
 # loss on the OLD kernel; re-probed by tools/kernel_cost_sweep.py.
 SRC0_PACK9 = False
 
+# Exact-math experiment hooks for the two dominant VPU costs measured by
+# tools/kernel_cost_sweep.py (base 44.9 / no-dx 56.5 / offset-0 tail 59.3
+# / both 71.0 TF/s):
+#   DX_MODE "roll"  = the +-1 horizontal-tap shifts as f32 dynamic
+#                     rotates (tpu.dynamic_rotate is 32-bit only);
+#           "slice" = native-dtype slice + zero-concat, trusting Mosaic's
+#                     implicit relayout of the 1-row-offset value (the
+#                     same trade TAIL_CANON="none" won for lane offsets).
+#   TAIL_WIDE_BF16  = activate/mask the FULL accumulator width in f32 and
+#                     cast to bf16 BEFORE the gc-column tail slice:
+#                     halves the bytes Mosaic relays out (and in slice
+#                     mode the activation never round-trips through f32
+#                     rotates afterwards).  Garbage act columns are
+#                     sliced away; the tail columns are exact.
+DX_MODE = os.environ.get("INNFER_DX_MODE", "roll")
+TAIL_WIDE_BF16 = os.environ.get("INNFER_TAIL_WIDE", "0") == "1"
+
 
 def _pack_source_weights(weights: List[jax.Array], nf: int, gc: int):
     """Per-source fully-K-packed 9-tap weights: wt[s] (9*C_s, N_s).
@@ -112,7 +129,7 @@ def _shift_rows(v: jax.Array, k: int) -> jax.Array:
     """
     if k == 0:
         return v
-    if k % 16 == 0:
+    if k % 16 == 0 or DX_MODE == "slice":
         z = jnp.zeros((abs(k), v.shape[1]), v.dtype)
         if k > 0:
             return jnp.concatenate([v[k:], z], axis=0)
@@ -206,6 +223,14 @@ def _rdb_compute(
         f32 double-roll on the narrow (pp, gc) value (an axis-1 lane
         double-roll measured CATASTROPHIC, 31.6 vs 43.3 TF/s)."""
         n = v.shape[1]
+        if TAIL_WIDE_BF16:
+            # full-width activation + mask in f32, ONE cast to the
+            # activation dtype, then the offset slice happens on half
+            # the bytes (see TAIL_WIDE_BF16 above).  Exact: non-tail
+            # columns of the act copy are discarded by the slice.
+            a = jnp.where(v >= 0, v, v * neg_slope)
+            a = jnp.where(valid, a, 0.0).astype(xf.dtype)
+            return a[:, :gc] if TAIL_SLICE == "prefix" else a[:, n - gc:]
         pre = v[:, :gc] if TAIL_SLICE == "prefix" else v[:, n - gc:]
         if TAIL_CANON == "axis0":
             pre = _canon(pre, pp)

@@ -156,6 +156,25 @@ def test_src0_pack9_exact(rng, monkeypatch):
     np.testing.assert_allclose(packed, base, atol=3e-6, rtol=3e-6)
 
 
+def test_dx_slice_and_wide_tail_exact(rng, monkeypatch):
+    """The DX_MODE='slice' (+-1 shifts as native-dtype slice+concat) and
+    TAIL_WIDE_BF16 (full-width act, cast, then slice) hooks are exact-math
+    reformulations: every combination must match the base kernel bitwise
+    in interpret mode (ops/pallas/rdb.py DX_MODE / TAIL_WIDE_BF16)."""
+    import innfer_tpu.ops.pallas.rdb as R
+
+    ws, bs = _make_rdb(rng, 64, 32)
+    x = jnp.asarray(rng.standard_normal((1, 32, 48, 64)).astype(np.float32))
+    base = np.asarray(R.fused_rdb(x, ws, bs, gc=32, block=(16, 16),
+                                  interpret=True))
+    for dx, wide in [("slice", False), ("roll", True), ("slice", True)]:
+        monkeypatch.setattr(R, "DX_MODE", dx)
+        monkeypatch.setattr(R, "TAIL_WIDE_BF16", wide)
+        out = np.asarray(R.fused_rdb(x, ws, bs, gc=32, block=(16, 16),
+                                     interpret=True))
+        np.testing.assert_array_equal(out, base, err_msg=f"{dx} wide={wide}")
+
+
 def _xla_rrdb_trunk(x, tws, tbs, nb, nr):
     out = x
     for r in range(nb):
