@@ -145,12 +145,16 @@ def _canon(a: jax.Array, pp: int) -> jax.Array:
     return pltpu.roll(pltpu.roll(a.astype(jnp.float32), 8, 0), pp - 8, 0)
 
 
-def _tile_valid_mask(by, bx, *, bh, bw, wp, pp, t_h, t_w, halo, col_off):
+def _tile_valid_mask(by, bx, *, bh, bw, wp, pp, t_h, t_w, halo,
+                     col_off=None):
     """(pp, 1) mask of canvas positions whose GLOBAL coords fall inside the
     tile: everything else must read as zero for the next conv (the
     reference zero-pads every conv at the tile extent).  ``col_off`` is
     the padded-layout column where tile content starts (HALO in standard
-    mode, COL_MARGIN in chain mode)."""
+    mode — the default, also used by contrib kernels sharing this helper —
+    or COL_MARGIN in chain mode)."""
+    if col_off is None:
+        col_off = halo
     rowid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) // wp
     colid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) % wp
     g_row = by * bh + rowid
