@@ -251,10 +251,14 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         # run the WHOLE nb-RRDB trunk through fused_rrdb_trunk instead of
         # per-RDB fused_rdb calls — pad once, donate buffers between the
         # nb*nr kernel calls, RRDB residual fused in-kernel.  Removes the
-        # per-call jnp.pad + output-slice HBM glue (~0.5 GB/call at
-        # headline group sizes).  OPT-IN (INNFER_RDB_CHAIN=1) until the
-        # on-chip A/B (tools/chain_ab.py) proves it: a first probe showed
-        # a pathological 18s forward at b=8 that needs a clean diagnosis.
+        # per-call jnp.pad + output-slice HBM glue.  STATUS: OPT-IN
+        # (INNFER_RDB_CHAIN=1) and NOT recommended on the axon backend —
+        # the padded-IO kernel variant crashes the remote Mosaic compiler
+        # (tools/out/chain_ab.json nb2_chain HTTP-500, same class as the
+        # 96-row-strip crashes), and the one full-model probe that did
+        # compile ran pathologically slow (18.3s b=8 forward).  Exact in
+        # interpret mode (test_fused_rrdb_trunk_*); kept as the ready
+        # implementation for a backend rev that fixes the Mosaic crash.
         use_chain = (
             backend in ("auto", "pallas")
             and norm_type in (None, "none")
