@@ -83,12 +83,15 @@ SRC0_PACK9 = False
 #                     same trade TAIL_CANON="none" won for lane offsets).
 #   TAIL_WIDE_BF16  = activate/mask the FULL accumulator width in f32 and
 #                     cast to bf16 BEFORE the gc-column tail slice:
-#                     halves the bytes Mosaic relays out (and in slice
-#                     mode the activation never round-trips through f32
-#                     rotates afterwards).  Garbage act columns are
-#                     sliced away; the tail columns are exact.
+#                     halves the bytes Mosaic relays out.  Garbage act
+#                     columns are sliced away; the tail columns are exact.
+# On-chip verdict (tools/out/dx_tail_exact_ab.json, peak-156.8 window):
+# tail_wide 47.2 vs base 44.8 TF/s with BITWISE parity -> DEFAULT ON.
+# dx_slice (and hence "both") crashes the remote Mosaic compiler (HTTP
+# 500, the offset-mismatch-concat class) -> keep "roll"; the ~11.6 TF/s
+# dx cost stands until a backend rev accepts sublane-offset concats.
 DX_MODE = os.environ.get("INNFER_DX_MODE", "roll")
-TAIL_WIDE_BF16 = os.environ.get("INNFER_TAIL_WIDE", "0") == "1"
+TAIL_WIDE_BF16 = os.environ.get("INNFER_TAIL_WIDE", "1") == "1"
 
 
 def _pack_source_weights(weights: List[jax.Array], nf: int, gc: int):
