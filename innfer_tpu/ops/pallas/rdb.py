@@ -286,22 +286,25 @@ def _rdb_compute(
 
 
 def _rdb_kernel(
-    xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, res_hbm, _out_buf, out_ref,
-    *scratch,
+    *args,
     nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
     neg_slope: float, acc_dtype, has_res: bool = False,
     col_off: int = HALO, out_ro: int = 0, out_co: int = 0,
 ):
     """Serial driver: blocking DMA in -> compute -> blocking DMA out.
 
-    Chain mode (has_res / padded out offsets): the output window lands at
-    (out_ro + by*bh, out_co + bx*bw) inside a padded-layout buffer, and
-    the optional residual block is read from the same window of res_hbm.
+    Chain mode (has_res / padded out offsets): the operand list gains a
+    res_hbm input, the output window lands at (out_ro + by*bh,
+    out_co + bx*bw) inside a padded-layout buffer, and the residual block
+    is read from the same window of res_hbm.  In standard mode the
+    operand list is exactly the pre-chain one (no dead res input).
     """
     if has_res:
-        x_vm, out_vm, res_vm, sem, sem_out, sem_res = scratch
+        (xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, res_hbm, _out_buf,
+         out_ref, x_vm, out_vm, res_vm, sem, sem_out, sem_res) = args
     else:
-        x_vm, out_vm, sem, sem_out = scratch
+        (xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, _out_buf,
+         out_ref, x_vm, out_vm, sem, sem_out) = args
         res_vm = None
     by = pl.program_id(1)
     bx = pl.program_id(2)
@@ -338,8 +341,7 @@ def _rdb_kernel(
 
 
 def _rdb_kernel_pipelined(
-    xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, res_hbm, _out_buf, out_ref,
-    *scratch,
+    *args,
     nf: int, gc: int, bh: int, bw: int, t_h: int, t_w: int, plus: bool,
     neg_slope: float, acc_dtype, nby: int, nbx: int, total: int,
     has_res: bool = False, col_off: int = HALO, out_ro: int = 0,
@@ -362,9 +364,11 @@ def _rdb_kernel_pipelined(
     buffers; the residual copy is double-buffered alongside the input.
     """
     if has_res:
-        x_vm, out_vm, res_vm, sem_in, sem_out, sem_res = scratch
+        (xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, res_hbm, _out_buf,
+         out_ref, x_vm, out_vm, res_vm, sem_in, sem_out, sem_res) = args
     else:
-        x_vm, out_vm, sem_in, sem_out = scratch
+        (xp_hbm, wt0, wt1, wt2, wt3, wt4, bias, w1x1, _out_buf,
+         out_ref, x_vm, out_vm, sem_in, sem_out) = args
         res_vm = None
     hp, wp = bh + 2 * HALO, bw + 2 * HALO + W_SLACK
     per_img = nby * nbx
@@ -588,30 +592,35 @@ def _call_rdb(
         if has_res:
             scratch.append(pltpu.VMEM((bh, bw, LANE), xp.dtype))
         scratch += [pltpu.SemaphoreType.DMA] * (3 if has_res else 2)
+    in_specs = [
+        # pin to HBM: ANY lets the compiler pull the whole padded image
+        # into VMEM, which overflows for realistic tile batches
+        pl.BlockSpec(memory_space=pltpu.HBM),   # xp: manual DMA
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # wt0
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w1x1
+    ]
+    operands = [xp, wt[0], wt[1], wt[2], wt[3], wt[4], bias_vec, w1]
+    if has_res:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # res: manual DMA
+        operands.append(res)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # donated out buffer
+    operands.append(out_buf)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            # pin to HBM: ANY lets the compiler pull the whole padded image
-            # into VMEM, which overflows for realistic tile batches
-            pl.BlockSpec(memory_space=pltpu.HBM),   # xp: manual DMA
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wt0
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1x1
-            pl.BlockSpec(memory_space=pltpu.HBM),   # res: manual DMA
-            pl.BlockSpec(memory_space=pltpu.HBM),   # donated output buffer
-        ],
+        in_specs=in_specs,
         # This backend stack-allocates pallas outputs in VMEM regardless of
         # out_specs; aliasing the output to a donated HBM input keeps the
         # full result in HBM.  Blocks are DMA'd out manually with 128-lane
         # padding for alignment.
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct(out_buf.shape, xp.dtype),
-        input_output_aliases={9: 0},
+        input_output_aliases={len(operands) - 1: 0},
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             # the backend's default VMEM budget is far below the chip's
@@ -621,7 +630,7 @@ def _call_rdb(
             * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, wt[0], wt[1], wt[2], wt[3], wt[4], bias_vec, w1, res, out_buf)
+    )(*operands)
 
 
 def fused_rdb_padded(

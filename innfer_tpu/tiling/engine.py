@@ -52,11 +52,81 @@ def extract_tiles(x: Array, plan: TilePlan) -> Array:
     return tiles.reshape(plan.n_tiles, th, tw, x.shape[-1])
 
 
-def recompose_tiles(tiles_sr: Array, plan: TilePlan) -> Array:
+def _axis_segments(starts, t: int, total: int):
+    """Static interval decomposition of one axis: split [0, total) at every
+    tile boundary into segments, each with the static list of tiles covering
+    it.  Lets the recompose run as pure slices+concats (no scatter)."""
+    bounds = sorted({0, total, *[s for s in starts], *[s + t for s in starts]})
+    bounds = [b for b in bounds if 0 <= b <= total]
+    segs = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        cover = [i for i, s in enumerate(starts) if s <= lo and hi <= s + t]
+        segs.append((lo, hi, cover))
+    return segs
+
+
+def recompose_tiles_concat(tiles_sr: Array, plan: TilePlan) -> Array:
+    """Scatter-free recompose: same accumulate-then-normalize math as
+    :func:`recompose_tiles` but built from STATIC slices and concats.
+
+    XLA TPU lowers `.at[idx].add` scatters poorly (measured ~0.4 s of the
+    CycleGAN tiled step, tools/glue_probe.py); since every tile start is a
+    compile-time constant, the weighted-sum canvas decomposes per axis into
+    segments each covered by a static tile set — sum the covering slices,
+    concat the segments.  fp32 accumulation, same add order (row-major
+    tile order per segment) as the scatter path up to reassociation.
+    """
+    nh, nw = len(plan.starts_h), len(plan.starts_w)
+    tsh, tsw = plan.tile_h * plan.scale, plan.tile_w * plan.scale
+    c = tiles_sr.shape[-1]
+    hp, wp = plan.pad_h * plan.scale, plan.pad_w * plan.scale
+
+    blend = jnp.asarray(plan.blend)[..., None]
+    wt = tiles_sr.astype(jnp.float32) * blend
+    wt = wt.reshape(nh, nw, tsh, tsw, c)
+
+    sh = [s * plan.scale for s in plan.starts_h]
+    sw = [s * plan.scale for s in plan.starts_w]
+    wsegs = _axis_segments(sw, tsw, wp)
+    hsegs = _axis_segments(sh, tsh, hp)
+
+    # row strips: per tile-row, concat width segments (sum where covered
+    # by 2+ tiles; zero-fill any uncovered gap)
+    strips = []
+    for i in range(nh):
+        pieces = []
+        for lo, hi, cover in wsegs:
+            if cover:
+                p = wt[i, cover[0], :, lo - sw[cover[0]]: hi - sw[cover[0]]]
+                for j in cover[1:]:
+                    p = p + wt[i, j, :, lo - sw[j]: hi - sw[j]]
+            else:
+                p = jnp.zeros((tsh, hi - lo, c), jnp.float32)
+            pieces.append(p)
+        strips.append(pieces[0] if len(pieces) == 1
+                      else jnp.concatenate(pieces, axis=1))
+
+    rows = []
+    for lo, hi, cover in hsegs:
+        if cover:
+            p = strips[cover[0]][lo - sh[cover[0]]: hi - sh[cover[0]]]
+            for i in cover[1:]:
+                p = p + strips[i][lo - sh[i]: hi - sh[i]]
+        else:
+            p = jnp.zeros((hi - lo, wp, c), jnp.float32)
+        rows.append(p)
+    canvas = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+    canvas = canvas * jnp.asarray(plan.inv_weight)
+    return canvas[None, : plan.out_h, : plan.out_w, :]
+
+
+def recompose_tiles_scatter(tiles_sr: Array, plan: TilePlan) -> Array:
     """(N, Ts, Ts, C) SR tiles -> (1, out_h, out_w, C) blended image.
 
     Reproduces the reference accumulate-then-normalize semantics
     (utils/utils.py:422-443) as two scatter-adds with static index maps.
+    Kept as the A/B reference for :func:`recompose_tiles_concat` (the
+    production path); INNFER_RECOMPOSE=scatter selects it.
     """
     nh, nw = len(plan.starts_h), len(plan.starts_w)
     tsh, tsw = plan.tile_h * plan.scale, plan.tile_w * plan.scale
@@ -80,6 +150,16 @@ def recompose_tiles(tiles_sr: Array, plan: TilePlan) -> Array:
     )
     canvas = canvas * jnp.asarray(plan.inv_weight)
     return canvas[None, : plan.out_h, : plan.out_w, :]
+
+
+def recompose_tiles(tiles_sr: Array, plan: TilePlan) -> Array:
+    """Dispatch to the production recompose (concat; scatter via
+    INNFER_RECOMPOSE=scatter for A/B)."""
+    import os
+
+    if os.environ.get("INNFER_RECOMPOSE", "concat") == "scatter":
+        return recompose_tiles_scatter(tiles_sr, plan)
+    return recompose_tiles_concat(tiles_sr, plan)
 
 
 def _round_up(n: int, m: int) -> int:
