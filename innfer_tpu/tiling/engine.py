@@ -42,14 +42,21 @@ def pad_image(x: Array, plan: TilePlan) -> Array:
 
 
 def extract_tiles(x: Array, plan: TilePlan) -> Array:
-    """(1, pad_h, pad_w, C) -> (N, Th, Tw, C) via two static gathers."""
+    """(1, pad_h, pad_w, C) -> (N, Th, Tw, C) from static slices.
+
+    Tile starts are compile-time constants, so extraction is a stack of
+    plain slices — XLA TPU copies.  (An earlier two-gather formulation
+    risked the same poor gather/scatter lowering the recompose hit; see
+    recompose_tiles_concat.)  Row strips are sliced once and reused
+    across the row's tiles.
+    """
     th, tw = plan.tile_h, plan.tile_w
-    h_idx = jnp.asarray(np.asarray(plan.starts_h)[:, None] + np.arange(th)[None])
-    w_idx = jnp.asarray(np.asarray(plan.starts_w)[:, None] + np.arange(tw)[None])
-    rows = x[0][h_idx]                # (nh, Th, pad_w, C)
-    tiles = rows[:, :, w_idx]         # (nh, Th, nw, Tw, C)
-    tiles = tiles.transpose(0, 2, 1, 3, 4)
-    return tiles.reshape(plan.n_tiles, th, tw, x.shape[-1])
+    strips = [x[0, sh: sh + th] for sh in plan.starts_h]
+    tiles = [strip[:, sw: sw + tw]
+             for strip in strips for sw in plan.starts_w]
+    if len(tiles) == 1:
+        return tiles[0][None]
+    return jnp.stack(tiles)
 
 
 def _axis_segments(starts, t: int, total: int):

@@ -272,3 +272,42 @@ class TestStripAwarePlannerGuard:
         # width beyond the strip VMEM cap still qualifies via 64x64 blocks
         assert tile_pallas_fast(320, 512)
         assert tile_pallas_fast(128, 128)   # square regime still fast
+
+
+class TestScatterFreeGlue:
+    """The production extract/recompose are pure static slices+concats
+    (XLA TPU lowers gather/scatter poorly; see recompose_tiles_concat).
+    Pin them bitwise against the scatter formulation and a numpy oracle."""
+
+    @pytest.mark.parametrize("plan", [
+        make_uniform_plan(100, 130, 2, tile=48, overlap=8),
+        make_uniform_plan(40, 40, 1, tile=48, overlap=8),
+        make_auto_plan(200, 330, 2, overlap=16, tile_batch=8, align=64),
+        make_auto_plan(200, 333, 1, overlap=16, tile_batch=8),
+        make_reference_plan(90, 130, 2),
+        # 50% step + clamped edge tiles: >2-way coverage regions
+        make_reference_plan(104, 104, 2),
+    ], ids=["uniform2x", "uniform1t", "auto64", "auto1x", "ref", "ref_clamp"])
+    def test_concat_matches_scatter(self, plan):
+        from innfer_tpu.tiling.engine import (recompose_tiles_concat,
+                                              recompose_tiles_scatter)
+
+        rng = np.random.default_rng(0)
+        tiles = jnp.asarray(rng.random(
+            (plan.n_tiles, plan.tile_h * plan.scale,
+             plan.tile_w * plan.scale, 3), np.float32))
+        a = np.asarray(recompose_tiles_concat(tiles, plan))
+        b = np.asarray(recompose_tiles_scatter(tiles, plan))
+        assert np.array_equal(a, b)
+
+    def test_extract_matches_numpy(self):
+        plan = make_auto_plan(200, 330, 2, overlap=16, tile_batch=8)
+        rng = np.random.default_rng(1)
+        x = rng.random((1, plan.pad_h, plan.pad_w, 3)).astype(np.float32)
+        got = np.asarray(extract_tiles(jnp.asarray(x), plan))
+        k = 0
+        for sh in plan.starts_h:
+            for sw in plan.starts_w:
+                ref = x[0, sh: sh + plan.tile_h, sw: sw + plan.tile_w]
+                assert np.array_equal(got[k], ref), (sh, sw)
+                k += 1
