@@ -310,6 +310,11 @@ class TiledRunner:
                     align_strict=self.tile_quantum_strict,
                     fixed_chunk=self.mesh is not None,
                 )
+            elif isinstance(self.tile, (tuple, list)):
+                plan = make_uniform_plan(
+                    h, w, self.scale, tile_h=self.tile[0], tile_w=self.tile[1],
+                    overlap=self.overlap, bucket=self.bucket,
+                )
             else:
                 plan = make_uniform_plan(
                     h, w, self.scale, tile=self.tile, overlap=self.overlap, bucket=self.bucket

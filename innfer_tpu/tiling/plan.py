@@ -99,19 +99,21 @@ def _weight_canvas(plan_h: int, plan_w: int, starts_h, starts_w, blend: np.ndarr
 
 def make_uniform_plan(
     h: int, w: int, scale: int, *, tile: int = 256, overlap: int = 16,
-    bucket: int = 0,
+    bucket: int = 0, tile_h: int = 0, tile_w: int = 0,
 ) -> TilePlan:
     """Uniform-grid plan over a reflect-padded image.
 
     ``bucket`` > 0 rounds the padded size up to a multiple, so nearby image
-    sizes share one compiled executable.
+    sizes share one compiled executable.  ``tile_h``/``tile_w`` override
+    ``tile`` per axis (rectangular grids, e.g. full-height strip tiles).
     """
-    if overlap >= tile:
+    th = tile_h or tile
+    tw = tile_w or tile
+    if overlap >= min(th, tw):
         raise ValueError("overlap must be smaller than tile")
-    stride = tile - overlap
 
-    def padded(dim: int) -> int:
-        if dim <= tile:
+    def padded(dim: int, t: int, stride: int) -> int:
+        if dim <= t:
             n = 1
         else:
             n = int(np.ceil((dim - overlap) / stride))
@@ -121,15 +123,16 @@ def make_uniform_plan(
             while p < int(np.ceil(dim / bucket)) * bucket:
                 n += 1
                 p = n * stride + overlap
-        return max(p, tile)
+        return max(p, t)
 
-    ph, pw = padded(h), padded(w)
-    starts_h = tuple(range(0, ph - tile + 1, stride))
-    starts_w = tuple(range(0, pw - tile + 1, stride))
+    stride_h, stride_w = th - overlap, tw - overlap
+    ph, pw = padded(h, th, stride_h), padded(w, tw, stride_w)
+    starts_h = tuple(range(0, ph - th + 1, stride_h))
+    starts_w = tuple(range(0, pw - tw + 1, stride_w))
 
-    t_sr = tile * scale
-    prof = _reference_blend(t_sr, overlap * scale)
-    blend = np.outer(prof, prof)
+    prof_h = _reference_blend(th * scale, overlap * scale)
+    prof_w = _reference_blend(tw * scale, overlap * scale)
+    blend = np.outer(prof_h, prof_w)
 
     sh_sr = [s * scale for s in starts_h]
     sw_sr = [s * scale for s in starts_w]
@@ -137,7 +140,7 @@ def make_uniform_plan(
     inv = (1.0 / canvas).astype(np.float32)[..., None]
 
     return TilePlan(
-        in_h=h, in_w=w, pad_h=ph, pad_w=pw, tile_h=tile, tile_w=tile,
+        in_h=h, in_w=w, pad_h=ph, pad_w=pw, tile_h=th, tile_w=tw,
         scale=scale, starts_h=starts_h, starts_w=starts_w,
         blend=blend.astype(np.float32), inv_weight=inv,
     )

@@ -311,3 +311,16 @@ class TestScatterFreeGlue:
                 ref = x[0, sh: sh + plan.tile_h, sw: sw + plan.tile_w]
                 assert np.array_equal(got[k], ref), (sh, sw)
                 k += 1
+
+    def test_rect_uniform_plan_roundtrip(self):
+        """tile_h/tile_w override makes strip grids expressible in uniform
+        mode (e.g. the 1088x256 headline strip plan, tools/plan_ab.py)."""
+        plan = make_uniform_plan(100, 70, 2, tile_h=96, tile_w=48, overlap=8)
+        assert (plan.tile_h, plan.tile_w) == (96, 48)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((1, 100, 70, 3), np.float32))
+        t = extract_tiles(pad_image(x, plan), plan)
+        up = jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)
+        r = np.asarray(recompose_tiles(up, plan))
+        ref = np.repeat(np.repeat(np.asarray(x), 2, axis=1), 2, axis=2)
+        assert np.max(np.abs(r - ref)) < 1e-5
