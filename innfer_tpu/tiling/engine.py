@@ -205,7 +205,12 @@ def tiled_apply(
         tiles = tiles.astype(compute_dtype)
 
     n = plan.n_tiles
-    chunk = min(tile_batch, n) if mesh is None else tile_batch
+    if mesh is not None:
+        chunk = tile_batch
+    else:
+        # the planner may have picked a smaller dispatch group than the
+        # engine default (big-tile grids clamped to the group-px cap)
+        chunk = plan.chunk or min(tile_batch, n)
     n_padded = _round_up(n, chunk)
     if n_padded != n:
         tiles = jnp.pad(tiles, [(0, n_padded - n), (0, 0), (0, 0), (0, 0)])

@@ -67,6 +67,10 @@ class TilePlan:
     starts_w: Tuple[int, ...]
     blend: np.ndarray          # (tile_h*scale, tile_w*scale) float32 blend patch
     inv_weight: np.ndarray     # (pad_h*scale, pad_w*scale, 1) reciprocal canvas
+    # planner-chosen dispatch-group tile count (0 = engine default of
+    # min(tile_batch, n_tiles)); lets the auto planner trade group size
+    # against processed pixels (e.g. strip plans under the group-px cap)
+    chunk: int = 0
 
     @property
     def tile(self) -> int:
@@ -197,17 +201,26 @@ def make_auto_plan(
         for nh, th, _ in axis_options(h, a):
             for nw, tw, _ in axis_options(w, a):
                 n_tiles = nh * nw
-                # a sharded runner pads the batch to full tile_batch chunks
-                # (engine.tiled_apply mesh branch), so the dispatch-group
-                # pixel cap and the dead-slot cost must use the full chunk
-                chunk = tile_batch if fixed_chunk else min(tile_batch, n_tiles)
-                if chunk * th * tw > max_group_px:
-                    continue
+                if fixed_chunk:
+                    # a sharded runner pads the batch to full tile_batch
+                    # chunks (engine.tiled_apply mesh branch), so the
+                    # group pixel cap and dead-slot cost use the full chunk
+                    chunk = tile_batch
+                    if chunk * th * tw > max_group_px:
+                        continue
+                else:
+                    # clamp the group size down to the pixel cap: big-tile
+                    # grids (e.g. full-height strips) are allowed to run at
+                    # smaller groups, paying batch_penalty for it
+                    chunk = min(tile_batch, n_tiles,
+                                max_group_px // max(1, th * tw))
+                    if chunk < 1:
+                        continue
                 groups = -(-n_tiles // chunk)
                 slots = groups * chunk
                 cost = (slots * th * tw * batch_penalty(chunk), groups, th * tw)
                 if best is None or cost < best[0]:
-                    best = (cost, nh, th, nw, tw)
+                    best = (cost, nh, th, nw, tw, chunk)
         return best
 
     if align >= 64 and not align_strict:
@@ -237,7 +250,7 @@ def make_auto_plan(
         # degenerate (huge overlap / tiny cap): fall back to uniform
         return make_uniform_plan(h, w, scale, tile=min_tile * 2,
                                  overlap=overlap)
-    _, nh, th, nw, tw = best
+    _, nh, th, nw, tw, chunk = best
 
     stride_h, stride_w = th - overlap, tw - overlap
     ph = (nh - 1) * stride_h + th
@@ -257,6 +270,7 @@ def make_auto_plan(
         in_h=h, in_w=w, pad_h=ph, pad_w=pw, tile_h=th, tile_w=tw,
         scale=scale, starts_h=starts_h, starts_w=starts_w,
         blend=blend.astype(np.float32), inv_weight=inv,
+        chunk=0 if fixed_chunk else chunk,
     )
 
 
