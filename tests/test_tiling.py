@@ -324,3 +324,25 @@ class TestScatterFreeGlue:
         r = np.asarray(recompose_tiles(up, plan))
         ref = np.repeat(np.repeat(np.asarray(x), 2, axis=1), 2, axis=2)
         assert np.max(np.abs(r - ref)) < 1e-5
+
+    def test_plan_chunk_overrides_engine_grouping(self):
+        """A planner-chosen dispatch-group size (TilePlan.chunk) must win
+        over the engine's min(tile_batch, n_tiles) default: the forward
+        then sees chunk-sized batches."""
+        import dataclasses
+
+        from innfer_tpu.tiling.engine import tiled_apply
+
+        plan = make_uniform_plan(100, 130, 2, tile=48, overlap=8)
+        plan = dataclasses.replace(plan, chunk=2)
+        seen = []
+
+        def apply_fn(params, batch):
+            seen.append(batch.shape[0])
+            return jnp.repeat(jnp.repeat(batch, 2, axis=1), 2, axis=2)
+
+        x = jnp.asarray(np.random.default_rng(0).random(
+            (1, 100, 130, 3), np.float32))
+        out = tiled_apply(apply_fn, None, x, plan, tile_batch=8)
+        assert out.shape == (1, 200, 260, 3)
+        assert seen and all(s == 2 for s in seen)
