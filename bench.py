@@ -36,7 +36,8 @@ def main():
     ap.add_argument("--nb", type=int, default=23)
     ap.add_argument("--nf", type=int, default=64)
     ap.add_argument("--scale", type=int, default=4)
-    ap.add_argument("--tile", type=int, default=256)
+    # "256" (square) or "1088x256" (rect, uniform mode strip plans)
+    ap.add_argument("--tile", type=str, default="256")
     ap.add_argument("--overlap", type=int, default=16)
     ap.add_argument("--tile-batch", type=int, default=8)
     ap.add_argument("--tile-mode", choices=["auto", "uniform", "reference"],
@@ -51,6 +52,11 @@ def main():
 
     import os
 
+    if "x" in args.tile:
+        th, tw = args.tile.split("x")
+        args.tile = (int(th), int(tw))
+    else:
+        args.tile = int(args.tile)
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
