@@ -40,7 +40,8 @@ def main():
     ap.add_argument("--tile", type=str, default="256")
     ap.add_argument("--overlap", type=int, default=16)
     ap.add_argument("--tile-batch", type=int, default=8)
-    ap.add_argument("--tile-mode", choices=["auto", "uniform", "reference"],
+    ap.add_argument("--tile-mode",
+                    choices=["auto", "uniform", "reference", "hybrid"],
                     default="auto")
     ap.add_argument("--max-group-px", type=int, default=1_400_000)
     ap.add_argument("--iters", type=int, default=4)
@@ -89,7 +90,8 @@ def main():
             output_index=model.output_index, compute_dtype=dtype,
             max_group_px=args.max_group_px,
             tile_quantum=model.tile_quantum,
-            tile_quantum_strict=model.tile_quantum_strict, **kw)
+            tile_quantum_strict=model.tile_quantum_strict,
+            trunk_fn=model.apply_trunk, tail_fn=model.apply_tail, **kw)
         x = jnp.asarray(rng.random((1, h, w, 3), np.float32), dtype)
         return lambda: runner(params, x), h * w * model.scale ** 2 / 1e6
 

@@ -36,7 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Directory searched for partial model names.")
     p.add_argument("--tile", type=int, default=256, help="Tile size (input pixels).")
     p.add_argument("--overlap", type=int, default=16, help="Tile overlap (input pixels).")
-    p.add_argument("--tile-mode", choices=["auto", "uniform", "reference", "none"],
+    p.add_argument("--tile-mode",
+                   choices=["auto", "uniform", "reference", "hybrid", "none"],
                    default="auto", help="Tiling strategy; 'auto' grid-fits a "
                    "(possibly rectangular) tile size per image for minimal "
                    "waste, 'uniform' uses the fixed --tile grid, 'reference' "

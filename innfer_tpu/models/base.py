@@ -55,6 +55,13 @@ class ModelDef:
     # backend='pallas' opt-in): the planner must not fall back to the fine
     # grid on cost grounds, or the kernel gate would reject the tiles
     tile_quantum_strict: bool = False
+    # Optional trunk/tail split for hybrid inference (whole-image trunk,
+    # tiled tail — engine.hybrid_apply): apply == apply_tail(apply_trunk).
+    # tail_halo is the tail's receptive radius in INPUT pixels (the tail
+    # tile overlap must exceed it for seam-exactness).
+    apply_trunk: Optional[Callable[[Params, jax.Array], jax.Array]] = None
+    apply_tail: Optional[Callable[[Params, jax.Array], jax.Array]] = None
+    tail_halo: int = 0
 
 
 def _matches(patterns: Sequence[str], key: str) -> bool:

@@ -242,7 +242,12 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     # upconv [Up, conv@ci, act@ci+1]; pixelshuffle [conv@ci, PS, act@ci+2]
     act_off = 1 if up_mode == "upconv" else 2
 
-    def apply(params, x: jax.Array) -> jax.Array:
+    def apply_trunk(params, x: jax.Array) -> jax.Array:
+        """fea conv -> nb RRDBs -> LR conv -> shortcut sum: the whole
+        LR-resolution part of the model (96+% of FLOPs).  Split out so the
+        hybrid engine can run it UNTILED on the full image (zero tile
+        overlap/halo waste) and tile only the upsample tail
+        (engine.hybrid_apply)."""
         fea = C.conv3x3(params, x, "model.0")
         t = fea
         rdb_names = (("RDB1", "RDB2", "RDB3") if nr == 3
@@ -291,7 +296,9 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         t = C.apply_conv_block(
             params, t, lambda j: f"model.1.sub.{nb + j}", mode=conv_mode,
             norm_type=norm_type, act_type=None)
-        h = fea + t  # ShortcutBlock (block.py:183-194)
+        return fea + t  # ShortcutBlock (block.py:183-194)
+
+    def apply_tail(params, h: jax.Array) -> jax.Array:
         phase_tail = up_convs and C.phase_tail_ok(
             params, f"model.{up_convs[-1]}", factor=factor, up_mode=up_mode,
             act_type=act_type, finalact=finalact)
@@ -315,6 +322,9 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
             h = F.act(finalact, h, params=params, key=f"model.{hr0 + 3}")
         return _outm(h, outm)
 
+    def apply(params, x: jax.Array) -> jax.Array:
+        return apply_tail(params, apply_trunk(params, x))
+
     # ask the tiling planner for 64-multiple tile dims whenever the fused
     # Pallas RDB could fire (see _use_pallas) so it gets >=64 blocks
     quantum = 64 if (backend in ("auto", "pallas") and nr == 3
@@ -327,6 +337,12 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         scale=upscale,
         tile_quantum=quantum,
         tile_quantum_strict=backend == "pallas",
+        apply_trunk=apply_trunk,
+        apply_tail=apply_tail,
+        # upsample-chain receptive radius in LR px: each upsample block's
+        # 3x3 conv adds 1/prod(earlier factors); the phase tail's two HR
+        # convs add <=1 more.  4 covers every scale (1/2/4/8).
+        tail_halo=4,
     )
 
 

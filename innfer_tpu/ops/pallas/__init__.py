@@ -14,9 +14,16 @@ def dim_pallas_fast(dim: int) -> bool:
 def tile_pallas_fast(th: int, tw: int) -> bool:
     """True when the fused RDB has a fast block decomposition for this
     tile SHAPE: a full-width strip (rdb._auto_block; 43.4 TF/s measured
-    round 3) or the square 64-block regime.  Shared by the model-side
-    auto gate (models/rrdb) and the tile planner's quantum cost guard
-    (tiling/plan)."""
-    strip = (tw % 16 == 0 and 16 <= tw <= 320
-             and any(th % bh == 0 for bh in (64, 48, 32)))
-    return strip or (dim_pallas_fast(th) and dim_pallas_fast(tw))
+    round 3), a wide tile whose width has a strip-sized 16-mult divisor
+    (whole-image hybrid trunk, e.g. 1920 -> 64x320 blocks), or the square
+    64-block regime.  Shared by the model-side auto gate (models/rrdb)
+    and the tile planner's quantum cost guard (tiling/plan)."""
+    rows_ok = any(th % bh == 0 for bh in (64, 48, 32))
+    if tw % 16 == 0 and 16 <= tw <= 320 and rows_ok:
+        return True  # full-width strip
+    if tw % 16 == 0 and tw > 320 and rows_ok:
+        from innfer_tpu.ops.pallas.rdb import _wide_bw
+
+        if _wide_bw(tw) >= 64:
+            return True
+    return dim_pallas_fast(th) and dim_pallas_fast(tw)

@@ -447,6 +447,20 @@ def _rdb_kernel_pipelined(
             out_copy(i - 1, jax.lax.rem(i - 1, 2)).wait()
 
 
+MAX_BW = int(os.environ.get("INNFER_MAX_BW", "320"))
+
+
+def _wide_bw(tw: int) -> int:
+    """Largest 16-multiple divisor of a wide tile width in [64, MAX_BW]
+    (0 if none): the block width for tiles wider than one strip, e.g. the
+    hybrid whole-image trunk (1920 -> 320).  Larger bw = lower halo
+    inflation ((bw+16)/bw), so take the largest."""
+    for bw in range(min(MAX_BW, tw) // 16 * 16, 48, -16):
+        if tw % bw == 0:
+            return bw
+    return 0
+
+
 def _auto_block(th: int, tw: int) -> Tuple[int, int]:
     """Default kernel block: a full-width strip when VMEM allows.
 
@@ -456,11 +470,14 @@ def _auto_block(th: int, tw: int) -> Tuple[int, int]:
     on-chip (tools/kernel_sweep.py round 3: 43.2 TF/s for 64x256 strips vs
     37.5 for 64x64 in the same window).  The width cap keeps the suffix
     accumulator (pp, 192) fp32 + double-buffered slabs well inside the
-    VMEM budget."""
-    if tw % 16 == 0 and tw <= 320:
-        for bh in (64, 48, 32):
-            if th % bh == 0:
-                return (bh, tw)
+    VMEM budget; wider tiles (whole-image trunk) use the largest 16-mult
+    divisor <= the cap as the block width (_wide_bw)."""
+    if tw % 16 == 0:
+        bw = tw if tw <= MAX_BW else _wide_bw(tw)
+        if bw >= 64:
+            for bh in (64, 48, 32):
+                if th % bh == 0:
+                    return (bh, bw)
     return (64, 64)
 
 

@@ -379,13 +379,20 @@ class InferenceSession:
                 runner = SpatialRunner(model, mesh)
                 chop = True  # route Stage through the runner
             elif chop:
+                stage_mode = tile_mode
+                if tile_mode == "hybrid" and model.apply_trunk is None:
+                    raise ValueError(
+                        "--tile-mode hybrid requires an architecture with a "
+                        f"trunk/tail split; {model.cfg.get('type')} does not "
+                        "expose one (use auto/uniform)")
                 runner = TiledRunner(
-                    model.apply, model.scale, mode=tile_mode, tile=tile,
+                    model.apply, model.scale, mode=stage_mode, tile=tile,
                     overlap=overlap, tile_batch=tile_batch, bucket=bucket,
                     output_index=model.output_index, mesh=mesh,
                     compute_dtype=compute_dtype,
                     tile_quantum=model.tile_quantum,
                     tile_quantum_strict=model.tile_quantum_strict,
+                    trunk_fn=model.apply_trunk, tail_fn=model.apply_tail,
                 )
             self.stages.append(Stage(model, params, chop, runner, mesh=mesh))
 
@@ -413,7 +420,9 @@ class InferenceSession:
             self._fused_runner = self.build_fused_chain(
                 tile=fused_tile, overlap=min(overlap, fused_tile // 4),
                 tile_batch=tile_batch, mesh=mesh,
-                mode=tile_mode,
+                # hybrid applies to single-model stages only; the fused
+                # chain (multi-stage per tile) plans its grid with auto
+                mode="auto" if tile_mode == "hybrid" else tile_mode,
             )
 
     @property

@@ -26,19 +26,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from innfer_tpu.tiling.plan import (TilePlan, make_auto_plan,
-                                    make_reference_plan, make_uniform_plan)
+                                    make_cover_plan, make_reference_plan,
+                                    make_uniform_plan)
 
 Array = jax.Array
 
 
-def pad_image(x: Array, plan: TilePlan) -> Array:
-    """Reflect-pad (1, H, W, C) to the plan's padded size.  Falls back to
-    edge padding when the pad is too large for reflection."""
-    ph, pw = plan.pad_h - plan.in_h, plan.pad_w - plan.in_w
+def _pad_to(x: Array, pad_h: int, pad_w: int) -> Array:
+    """Reflect-pad (1, H, W, C) up to (pad_h, pad_w); edge padding when the
+    pad is too large for reflection."""
+    h, w = x.shape[1], x.shape[2]
+    ph, pw = pad_h - h, pad_w - w
     if ph == 0 and pw == 0:
         return x
-    mode = "reflect" if (ph < plan.in_h and pw < plan.in_w) else "edge"
+    mode = "reflect" if (ph < h and pw < w) else "edge"
     return jnp.pad(x, [(0, 0), (0, ph), (0, pw), (0, 0)], mode=mode)
+
+
+def pad_image(x: Array, plan: TilePlan) -> Array:
+    """Reflect-pad (1, H, W, C) to the plan's padded size."""
+    return _pad_to(x, plan.pad_h, plan.pad_w)
 
 
 def extract_tiles(x: Array, plan: TilePlan) -> Array:
@@ -236,6 +243,80 @@ def tiled_apply(
     return recompose_tiles(out_tiles, plan)
 
 
+def hybrid_dims(h: int, w: int) -> tuple:
+    """Kernel-friendly padded dims for a whole-image trunk forward:
+    rows to the next 64-multiple (64-row strip blocks), width to the
+    candidate in [w, w+63] minimizing padded_px * halo_inflation(bw)
+    where bw is the block width the kernel would pick (rdb._wide_bw).
+    1080x1920 -> 1088x1920 with 64x320 blocks (ratio 1.0074 of true px vs
+    the auto tile grid's 1.138)."""
+    from innfer_tpu.ops.pallas.rdb import MAX_BW, _wide_bw
+
+    ph = -(-h // 64) * 64
+    best = None
+    for pw in range(-(-w // 16) * 16, w + 64, 16):
+        bw = pw if pw <= MAX_BW else _wide_bw(pw)
+        if bw < 64:
+            continue
+        cost = ph * pw * (bw + 16) / bw
+        if best is None or cost < best[0]:
+            best = (cost, pw)
+    if best is None:
+        best = (0, -(-w // 16) * 16)
+    return ph, best[1]
+
+
+def hybrid_apply(
+    trunk_fn: Callable,
+    tail_fn: Callable,
+    params,
+    x: Array,
+    plan: TilePlan,
+    *,
+    tile_batch: int = 8,
+    output_index: Optional[int] = None,
+    compute_dtype=None,
+    out_h: int = 0,
+    out_w: int = 0,
+) -> Array:
+    """Whole-image trunk, tiled tail (models exposing a trunk/tail split).
+
+    The LR trunk carries 96+% of the model's FLOPs; running it UNTILED on
+    the padded full image removes all tile overlap/halo recompute (the
+    auto grid processes 1.138x the true pixels at 1080p; the hybrid trunk
+    1.007x) and is EXACT whole-image math.  Only the cheap upsample tail
+    is tiled (activation memory at scale^2 forces that), cut from the
+    same feature map with overlap >> the tail's receptive radius, so
+    seams carry only blend rounding.  ``plan`` must be a cover plan over
+    the trunk-padded dims (plan.pad_h == padded H == trunk output rows).
+    """
+    xp = _pad_to(x, plan.pad_h, plan.pad_w)
+    if compute_dtype is not None:
+        xp = xp.astype(compute_dtype)
+    h = trunk_fn(params, xp)
+
+    tiles = extract_tiles(h, plan)
+    n = plan.n_tiles
+    chunk = plan.chunk or min(tile_batch, n)
+    n_padded = _round_up(n, chunk)
+    if n_padded != n:
+        tiles = jnp.pad(tiles, [(0, n_padded - n), (0, 0), (0, 0), (0, 0)])
+    groups = tiles.reshape(
+        n_padded // chunk, chunk, plan.tile_h, plan.tile_w, -1)
+
+    def fwd(batch):
+        out = tail_fn(params, batch)
+        if output_index is not None:
+            out = out[output_index]
+        return out
+
+    out_tiles = jax.lax.map(fwd, groups)
+    tsh, tsw = plan.tile_h * plan.scale, plan.tile_w * plan.scale
+    out_tiles = out_tiles.reshape(n_padded, tsh, tsw, -1)[:n]
+    canvas = recompose_tiles(out_tiles, plan)
+    return canvas[:, : out_h or plan.out_h, : out_w or plan.out_w, :]
+
+
 class TiledRunner:
     """Convenience wrapper: plan cache + jitted executables per image size.
 
@@ -263,7 +344,21 @@ class TiledRunner:
         max_group_px: int = 1_400_000,
         tile_quantum: int = 1,
         tile_quantum_strict: bool = False,
+        trunk_fn: Callable = None,
+        tail_fn: Callable = None,
     ):
+        if mode == "hybrid":
+            if trunk_fn is None or tail_fn is None:
+                raise ValueError(
+                    "hybrid mode requires a model with a trunk/tail split "
+                    "(ModelDef.apply_trunk/apply_tail); this architecture "
+                    "does not expose one")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "hybrid mode is single-chip; use --spatial for "
+                    "multi-chip whole-image forwards")
+        self.trunk_fn = trunk_fn
+        self.tail_fn = tail_fn
         self.apply_fn = apply_fn
         self.scale = scale
         self.mode = mode
@@ -304,7 +399,14 @@ class TiledRunner:
         quantum = self._effective_quantum(run_dtype)
         plan = self._plans.get((h, w, quantum))
         if plan is None:
-            if self.mode == "reference":
+            if self.mode == "hybrid":
+                ph, pw = hybrid_dims(h, w)
+                tl = (self.tile if isinstance(self.tile, (tuple, list))
+                      else (576, min(self.tile, 256)))
+                plan = make_cover_plan(
+                    ph, pw, self.scale, tile_h=min(ph, tl[0]),
+                    tile_w=min(pw, tl[1]), overlap=self.overlap)
+            elif self.mode == "reference":
                 plan = make_reference_plan(h, w, self.scale, patch=self.patch, step=self.step)
             elif self.mode == "auto":
                 plan = make_auto_plan(
@@ -331,19 +433,34 @@ class TiledRunner:
         h, w = x.shape[1], x.shape[2]
         plan = self.plan_for(h, w, run_dtype=x.dtype)
         key = (plan.pad_h, plan.pad_w, plan.tile_h, plan.tile_w, x.dtype,
-               x.shape[-1])
+               x.shape[-1], h, w)
         fn = self._compiled.get(key)
         if fn is None:
-            fn = jax.jit(
-                functools.partial(
-                    tiled_apply,
-                    self.apply_fn,
-                    tile_batch=self.tile_batch,
-                    output_index=self.output_index,
-                    mesh=self.mesh,
-                    compute_dtype=self.compute_dtype,
-                ),
-                static_argnames=("plan",),
-            )
+            if self.mode == "hybrid":
+                fn = jax.jit(
+                    functools.partial(
+                        hybrid_apply,
+                        self.trunk_fn,
+                        self.tail_fn,
+                        tile_batch=self.tile_batch,
+                        output_index=self.output_index,
+                        compute_dtype=self.compute_dtype,
+                        out_h=h * self.scale,
+                        out_w=w * self.scale,
+                    ),
+                    static_argnames=("plan",),
+                )
+            else:
+                fn = jax.jit(
+                    functools.partial(
+                        tiled_apply,
+                        self.apply_fn,
+                        tile_batch=self.tile_batch,
+                        output_index=self.output_index,
+                        mesh=self.mesh,
+                        compute_dtype=self.compute_dtype,
+                    ),
+                    static_argnames=("plan",),
+                )
             self._compiled[key] = fn
         return fn(params, x, plan=plan)

@@ -274,6 +274,38 @@ def make_auto_plan(
     )
 
 
+def make_cover_plan(h: int, w: int, scale: int, *, tile_h: int, tile_w: int,
+                    overlap: int = 16, chunk: int = 0) -> TilePlan:
+    """Clamped-grid plan over EXACT (h, w): uniform strides with the last
+    tile clamped to the boundary (reference-style starts), no padding.
+
+    Used by hybrid inference (engine.hybrid_apply): the trunk has already
+    padded the image to kernel-friendly dims, and the tail tiles must
+    index the trunk feature map exactly — no further padding allowed.
+    The clamped last tile simply overlaps its neighbor more; the weight
+    canvas and the scatter-free recompose handle arbitrary static starts.
+    """
+    th, tw = min(tile_h, h), min(tile_w, w)
+    starts_h = tuple(_starts(h, th, th - overlap)) if th < h else (0,)
+    starts_w = tuple(_starts(w, tw, tw - overlap)) if tw < w else (0,)
+
+    prof_h = _reference_blend(th * scale, overlap * scale
+                              if len(starts_h) > 1 else 0)
+    prof_w = _reference_blend(tw * scale, overlap * scale
+                              if len(starts_w) > 1 else 0)
+    blend = np.outer(prof_h, prof_w)
+    canvas = _weight_canvas(
+        h * scale, w * scale,
+        [s * scale for s in starts_h], [s * scale for s in starts_w], blend)
+    inv = (1.0 / canvas).astype(np.float32)[..., None]
+
+    return TilePlan(
+        in_h=h, in_w=w, pad_h=h, pad_w=w, tile_h=th, tile_w=tw,
+        scale=scale, starts_h=starts_h, starts_w=starts_w,
+        blend=blend.astype(np.float32), inv_weight=inv, chunk=chunk,
+    )
+
+
 def make_reference_plan(h: int, w: int, scale: int, *, patch: int = 200,
                         step: float = 0.5) -> TilePlan:
     """Reproduce the reference chop grid exactly (run.py:167-202).

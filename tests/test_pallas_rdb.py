@@ -273,3 +273,32 @@ def test_model_chain_integration(rng, monkeypatch):
     assert called.get("yes"), "chain gate did not fire"
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_auto_block_wide_tiles(rng):
+    """Wide tiles (whole-image hybrid trunk) pick the largest 16-mult
+    block-width divisor <= the VMEM cap instead of falling to 64x64."""
+    from innfer_tpu.ops.pallas.rdb import _auto_block, _wide_bw
+
+    assert _wide_bw(1920) == 320 and _wide_bw(1936) == 176
+    assert _wide_bw(100) == 0  # no 16-mult divisor >= 64
+    assert _auto_block(1088, 1920) == (64, 320)
+    assert _auto_block(576, 576) == (64, 288)
+    assert _auto_block(576, 256) == (64, 256)  # strip regime unchanged
+
+    # exactness through the auto wide-block path (2 blocks of 32x176)
+    nf, gc = 32, 16
+    ws, bs = _make_rdb(rng, nf, gc)
+    x = jnp.asarray(rng.standard_normal((1, 32, 352, nf)).astype(np.float32))
+    ref = _xla_rdb(x, ws, bs)
+    out = fused_rdb(x, ws, bs, gc=gc, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-6, rtol=3e-6)
+
+
+def test_tile_pallas_fast_wide():
+    from innfer_tpu.ops.pallas import tile_pallas_fast
+
+    assert tile_pallas_fast(1088, 1920)       # hybrid whole-image dims
+    assert not tile_pallas_fast(1080, 1920)   # rows not strip-divisible
+    assert not tile_pallas_fast(1088, 1940)   # width not 16-mult

@@ -47,10 +47,14 @@ def main():
             model.apply, SCALE, mode=mode, tile=tile, overlap=16,
             tile_batch=tb, compute_dtype=dtype, max_group_px=1_400_000,
             tile_quantum=model.tile_quantum,
-            tile_quantum_strict=model.tile_quantum_strict)
+            tile_quantum_strict=model.tile_quantum_strict,
+            trunk_fn=model.apply_trunk, tail_fn=model.apply_tail)
 
     configs = {
         "auto_b8": runner("auto", 256, 8),
+        # whole-image trunk (1088x1920, 64x320 blocks, px ratio 1.0074)
+        # + tiled tail: engine.hybrid_apply
+        "hybrid": runner("hybrid", 256, 8),
         "strip_1088x256_b4": runner("uniform", (1088, 256), 4),
         "strip_1088x256_b8": runner("uniform", (1088, 256), 8),
     }
