@@ -66,7 +66,10 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
             norm_type=c1_norm, act_type=c1_act)
         return x + h * jnp.asarray(res_scale, x.dtype)
 
-    def apply(params, x: jax.Array) -> jax.Array:
+    def apply_trunk(params, x: jax.Array) -> jax.Array:
+        """fea conv -> nb ResNetBlocks -> LR conv -> shortcut sum (the
+        LR-resolution bulk); split out for hybrid whole-image-trunk
+        inference (engine.hybrid_apply), like models/rrdb.py."""
         fea = C.conv3x3(params, x, "model.0")
         t = fea
         for i in range(nb):
@@ -74,7 +77,9 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         t = C.apply_conv_block(
             params, t, lambda j: f"model.1.sub.{nb + j}", mode=conv_mode,
             norm_type=norm_type, act_type=None)
-        h = fea + t
+        return fea + t
+
+    def apply_tail(params, h: jax.Array) -> jax.Array:
         phase_tail = up_convs and C.phase_tail_ok(
             params, f"model.{up_convs[-1]}", factor=factor, up_mode=up_mode,
             act_type=act_type, finalact=finalact)
@@ -95,4 +100,9 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
             h = F.act(finalact, h, params=params, key=f"model.{hr0 + 3}")
         return _outm(h, outm)
 
-    return ModelDef(name="sr_resnet", cfg=dict(cfg), apply=apply, scale=upscale)
+    def apply(params, x: jax.Array) -> jax.Array:
+        return apply_tail(params, apply_trunk(params, x))
+
+    return ModelDef(name="sr_resnet", cfg=dict(cfg), apply=apply,
+                    scale=upscale, apply_trunk=apply_trunk,
+                    apply_tail=apply_tail, tail_halo=4)

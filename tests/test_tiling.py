@@ -390,3 +390,18 @@ class TestHybrid:
     def test_hybrid_requires_split(self):
         with pytest.raises(ValueError, match="trunk/tail split"):
             TiledRunner(lambda p, x: x, 4, mode="hybrid")
+
+    def test_hybrid_srresnet(self):
+        from tools import synth_params as SP
+
+        model, params = SP.build("srresnet", scale=4, dtype=jnp.float32,
+                                 nb=2, nf=16)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.random((1, 70, 90, 3), np.float32))
+        whole = np.asarray(model.apply(params, x))
+        r = TiledRunner(model.apply, 4, mode="hybrid", tile=(48, 48),
+                        overlap=16, tile_batch=4,
+                        trunk_fn=model.apply_trunk, tail_fn=model.apply_tail)
+        out = np.asarray(r(params, x))
+        assert out.shape == whole.shape
+        assert psnr(out, whole) > 45
