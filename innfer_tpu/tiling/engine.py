@@ -395,20 +395,33 @@ class TiledRunner:
             return 1
         return self.tile_quantum
 
+    # Whole-trunk input-pixel cap for hybrid mode: the fused-kernel HBM
+    # buffers cost ~0.5 GB per input MP (2 donated 128-lane canvases) on
+    # top of the XLA activations, so a 1080p/1440p/4K input fits easily
+    # but an 8K input (33 MP) would OOM the 16 GB HBM; beyond the cap the
+    # runner falls back to the auto tile grid for that image size.
+    HYBRID_PX_CAP = 9_000_000
+
+    def _mode_for(self, h: int, w: int) -> str:
+        if self.mode == "hybrid" and h * w > self.HYBRID_PX_CAP:
+            return "auto"
+        return self.mode
+
     def plan_for(self, h: int, w: int, run_dtype=None) -> TilePlan:
         quantum = self._effective_quantum(run_dtype)
         plan = self._plans.get((h, w, quantum))
         if plan is None:
-            if self.mode == "hybrid":
+            mode = self._mode_for(h, w)
+            if mode == "hybrid":
                 ph, pw = hybrid_dims(h, w)
                 tl = (self.tile if isinstance(self.tile, (tuple, list))
                       else (576, min(self.tile, 256)))
                 plan = make_cover_plan(
                     ph, pw, self.scale, tile_h=min(ph, tl[0]),
                     tile_w=min(pw, tl[1]), overlap=self.overlap)
-            elif self.mode == "reference":
+            elif mode == "reference":
                 plan = make_reference_plan(h, w, self.scale, patch=self.patch, step=self.step)
-            elif self.mode == "auto":
+            elif mode == "auto":
                 plan = make_auto_plan(
                     h, w, self.scale, overlap=self.overlap,
                     tile_batch=self.tile_batch,
@@ -436,7 +449,7 @@ class TiledRunner:
                x.shape[-1], h, w)
         fn = self._compiled.get(key)
         if fn is None:
-            if self.mode == "hybrid":
+            if self._mode_for(h, w) == "hybrid":
                 fn = jax.jit(
                     functools.partial(
                         hybrid_apply,

@@ -405,3 +405,16 @@ class TestHybrid:
         out = np.asarray(r(params, x))
         assert out.shape == whole.shape
         assert psnr(out, whole) > 45
+
+    def test_hybrid_px_cap_falls_back_to_auto(self):
+        model, params = self._model()
+        r = TiledRunner(model.apply, 4, mode="hybrid", overlap=16,
+                        tile_batch=8, trunk_fn=model.apply_trunk,
+                        tail_fn=model.apply_tail, tile_quantum=64)
+        # 33 MP input (8K): whole trunk would OOM the 16 GB HBM
+        assert r._mode_for(4320, 7680) == "auto"
+        assert r._mode_for(1080, 1920) == "hybrid"
+        # beyond-cap plan is a real tile grid, not a whole-image cover
+        r.HYBRID_PX_CAP = 100 * 130 - 1
+        plan = r.plan_for(200, 260, run_dtype=jnp.float32)
+        assert plan.n_tiles > 1 and plan.pad_h >= 200
