@@ -15,19 +15,157 @@ Other configs via --model:
 
 The metric is output megapixels per second per chip; the BASELINE.json
 north-star target (vs_baseline=1.0) is 20 MP/s for the headline config.
+
+Outage resilience: the tunneled TPU backend can go UNAVAILABLE (or hang a
+trivial op for minutes) — it erased round 3's headline artifact.  The
+default entry point is therefore a SUPERVISOR that (1) liveness-probes the
+backend in a time-bounded subprocess, (2) runs the actual measurement in a
+time-bounded worker subprocess, (3) retries with backoff across a window,
+and (4) on persistent outage emits the last-known-good measurement for the
+same config annotated with "outage": true — always one parseable JSON line.
+Last-good lines live in tools/out/bench_last_good_<model>.json (committed).
+Run the measurement directly (old behavior) with --no-supervise.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import os.path as osp
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+
+_REPO = osp.dirname(osp.abspath(__file__))
+
+
+def _last_good_path(model: str) -> str:
+    """Per-config last-good file: the bare model name for a default
+    (driver) invocation, model+hash for any non-default flag set, so e.g.
+    a --tile-mode hybrid run never overwrites the headline's record."""
+    base = os.environ.get("INNFER_BENCH_LASTGOOD_DIR",
+                          osp.join(_REPO, "tools", "out"))
+    extra = [a for a in sys.argv[1:] if a not in ("--model", model)]
+    if extra:
+        import hashlib
+
+        h = hashlib.md5(" ".join(extra).encode()).hexdigest()[:8]
+        return osp.join(base, f"bench_last_good_{model}_{h}.json")
+    return osp.join(base, f"bench_last_good_{model}.json")
+
+
+def _probe_backend(timeout_s: float) -> bool:
+    """True iff a trivial jitted reduction completes within timeout_s.
+
+    Runs in a subprocess: when the tunnel is dead the op HANGS in-process
+    (observed >21 min in round 3), so an in-process probe can't be bounded.
+    """
+    cmd = os.environ.get("INNFER_BENCH_PROBE_CMD")
+    if cmd is None:
+        cmd = (sys.executable + " -c \"import jax, jax.numpy as jnp; "
+               "print(float(jax.jit(lambda t: jnp.sum(t))"
+               "(jnp.ones((256, 256), jnp.bfloat16))))\"")
+    try:
+        r = subprocess.run(cmd, shell=True, timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _run_worker(timeout_s: float) -> dict | None:
+    """Run the real measurement in a subprocess; parse its last stdout line."""
+    cmd = os.environ.get("INNFER_BENCH_WORKER_CMD")
+    if cmd is None:
+        argv = [sys.executable, osp.abspath(__file__), "--no-supervise",
+                *sys.argv[1:]]
+    else:
+        argv = cmd  # test harness override (shell string)
+    try:
+        r = subprocess.run(argv, shell=isinstance(argv, str),
+                           timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print("bench: worker timed out", file=sys.stderr)
+        return None
+    if r.returncode != 0:
+        print(f"bench: worker rc={r.returncode}\n{r.stderr[-2000:]}",
+              file=sys.stderr)
+        return None
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+            if isinstance(d, dict) and "value" in d:
+                return d
+        except ValueError:
+            continue
+    print("bench: worker produced no JSON line", file=sys.stderr)
+    return None
+
+
+def supervise(model: str) -> int:
+    """Probe -> run -> retry-with-backoff -> last-good fallback.
+
+    Exit 0 with one JSON line on stdout in every reachable case except
+    "persistent outage AND no last-good recorded" (exit 1, still one line).
+    """
+    probe_to = float(os.environ.get("INNFER_BENCH_PROBE_TIMEOUT", "120"))
+    run_to = float(os.environ.get("INNFER_BENCH_RUN_TIMEOUT", "1800"))
+    window = float(os.environ.get("INNFER_BENCH_RETRY_S", "1200"))
+    t0 = time.time()
+    backoff = float(os.environ.get("INNFER_BENCH_BACKOFF_S", "20"))
+    attempt = 0
+    while True:
+        attempt += 1
+        alive = _probe_backend(probe_to)
+        if alive:
+            result = _run_worker(run_to)
+            if result is not None:
+                result["captured_at"] = time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+                try:
+                    os.makedirs(osp.dirname(_last_good_path(model)),
+                                exist_ok=True)
+                    with open(_last_good_path(model), "w") as f:
+                        json.dump({"argv": sys.argv[1:], **result}, f)
+                        f.write("\n")
+                except OSError:
+                    pass
+                line = {k: v for k, v in result.items() if k != "captured_at"}
+                print(json.dumps(line))
+                return 0
+        else:
+            print(f"bench: backend probe failed (attempt {attempt})",
+                  file=sys.stderr)
+        if time.time() - t0 + backoff > window:
+            break
+        time.sleep(backoff)
+        backoff = min(backoff * 2, 300.0)
+    # persistent outage: emit last-known-good for this config, marked
+    try:
+        with open(_last_good_path(model)) as f:
+            lg = json.load(f)
+        out = {k: lg[k] for k in ("metric", "value", "unit", "vs_baseline")
+               if k in lg}
+        out["outage"] = True
+        out["last_good_at"] = lg.get("captured_at", "unknown")
+        print(json.dumps(out))
+        return 0
+    except (OSError, ValueError, KeyError):
+        print(json.dumps({
+            "metric": f"bench {model} (backend outage, no last-good)",
+            "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
+            "outage": True}))
+        return 1
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--no-supervise", action="store_true",
+                    help="run the measurement in-process (no probe/retry/"
+                         "fallback; used internally by the supervisor)")
     ap.add_argument("--model", default="esrgan",
                     choices=["esrgan", "srresnet", "chain", "unet", "cyclegan",
                              "ppon", "wbc"])
@@ -51,7 +189,8 @@ def main():
     ap.add_argument("--profile", type=str, default="")
     args = ap.parse_args()
 
-    import os
+    if not args.no_supervise and not args.cpu:
+        sys.exit(supervise(args.model))
 
     if "x" in args.tile:
         th, tw = args.tile.split("x")
@@ -91,7 +230,8 @@ def main():
             max_group_px=args.max_group_px,
             tile_quantum=model.tile_quantum,
             tile_quantum_strict=model.tile_quantum_strict,
-            trunk_fn=model.apply_trunk, tail_fn=model.apply_tail, **kw)
+            trunk_fn=model.apply_trunk, tail_fn=model.apply_tail,
+            tail_halo=model.tail_halo, **kw)
         x = jnp.asarray(rng.random((1, h, w, 3), np.float32), dtype)
         return lambda: runner(params, x), h * w * model.scale ** 2 / 1e6
 
@@ -119,14 +259,14 @@ def main():
         # dispatch, the intermediate image is never materialized.  The
         # step includes the full user-visible cost: host->device upload,
         # tiled fused chain, device color-fix, device->host download.
-        import os.path as osp
         import tempfile
 
         from innfer_tpu.checkpoint.writer import write_checkpoint
         from innfer_tpu.ops.filters import color_fix
         from innfer_tpu.pipeline import InferenceSession, np2tensor
 
-        tmp = tempfile.mkdtemp(prefix="innfer_bench_")
+        tmp_ctx = tempfile.TemporaryDirectory(prefix="innfer_bench_")
+        tmp = tmp_ctx.name  # cleaned up at interpreter exit
         c1 = osp.join(tmp, "1x_denoise.pth")
         c2 = osp.join(tmp, "4x_up.pth")
         write_checkpoint(c1, SP.esrgan_state(scale=1, nb=args.nb, nf=args.nf))

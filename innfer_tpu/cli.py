@@ -48,7 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-fused-chain", action="store_true",
                    help="Run model chains stage-by-stage (materializing "
                    "each intermediate image) instead of the default fused "
-                   "tile-through-chain execution.")
+                   "tile-through-chain execution.  The fused path never "
+                   "materializes intermediate images, so later stages see "
+                   "tile-local inputs: outputs can differ from the "
+                   "reference's stage-by-stage loop near tile borders "
+                   "within the chain's combined receptive field (the fused "
+                   "overlap scales with chain depth to bound this).  Use "
+                   "this flag for bit-faithful stage-by-stage parity.")
     p.add_argument("--profile", type=str, default="",
                    help="Write a jax.profiler trace to this directory.")
     p.add_argument("--timing", action="store_true",

@@ -19,7 +19,10 @@ def tile_pallas_fast(th: int, tw: int) -> bool:
     64-block regime.  Shared by the model-side auto gate (models/rrdb)
     and the tile planner's quantum cost guard (tiling/plan)."""
     rows_ok = any(th % bh == 0 for bh in (64, 48, 32))
-    if tw % 16 == 0 and 16 <= tw <= 320 and rows_ok:
+    # strip branch mirrors rdb._auto_block's bw >= 64 requirement: 16-48
+    # wide tiles would fall back to narrow blocks (high halo inflation),
+    # a regime never measured fast (ADVICE r3)
+    if tw % 16 == 0 and 64 <= tw <= 320 and rows_ok:
         return True  # full-width strip
     if tw % 16 == 0 and tw > 320 and rows_ok:
         from innfer_tpu.ops.pallas.rdb import _wide_bw

@@ -393,6 +393,7 @@ class InferenceSession:
                     tile_quantum=model.tile_quantum,
                     tile_quantum_strict=model.tile_quantum_strict,
                     trunk_fn=model.apply_trunk, tail_fn=model.apply_tail,
+                    tail_halo=model.tail_halo,
                 )
             self.stages.append(Stage(model, params, chop, runner, mesh=mesh))
 
@@ -417,8 +418,13 @@ class InferenceSession:
             # cap the input tile so the final-scale tile stays bounded: a
             # 4x+4x chain at tile 256 would make 4096^2-pixel SR tiles
             fused_tile = min(tile, max(64, 1024 // max(self.total_scale, 1)))
+            # border contamination grows with the chain's combined
+            # receptive field, so scale the fused overlap with chain depth
+            # (ADVICE r3) instead of capping at tile/4; tile/3 keeps the
+            # stride positive and the waste bounded
+            fused_overlap = min(overlap * len(self.stages), fused_tile // 3)
             self._fused_runner = self.build_fused_chain(
-                tile=fused_tile, overlap=min(overlap, fused_tile // 4),
+                tile=fused_tile, overlap=fused_overlap,
                 tile_batch=tile_batch, mesh=mesh,
                 # hybrid applies to single-model stages only; the fused
                 # chain (multi-stage per tile) plans its grid with auto

@@ -346,6 +346,7 @@ class TiledRunner:
         tile_quantum_strict: bool = False,
         trunk_fn: Callable = None,
         tail_fn: Callable = None,
+        tail_halo: int = 0,
     ):
         if mode == "hybrid":
             if trunk_fn is None or tail_fn is None:
@@ -359,6 +360,7 @@ class TiledRunner:
                     "multi-chip whole-image forwards")
         self.trunk_fn = trunk_fn
         self.tail_fn = tail_fn
+        self.tail_halo = tail_halo
         self.apply_fn = apply_fn
         self.scale = scale
         self.mode = mode
@@ -416,9 +418,20 @@ class TiledRunner:
                 ph, pw = hybrid_dims(h, w)
                 tl = (self.tile if isinstance(self.tile, (tuple, list))
                       else (576, min(self.tile, 256)))
+                # seam-exactness requires the tail tile overlap to exceed
+                # the tail's receptive radius (hybrid_apply docstring);
+                # clamp rather than silently produce seam artifacts
+                ov = max(self.overlap, 2 * self.tail_halo)
+                if ov > self.overlap:
+                    import logging
+
+                    logging.getLogger("innfer_tpu").warning(
+                        "hybrid mode: overlap %d < 2*tail_halo (%d); "
+                        "clamping to %d for seam-exactness",
+                        self.overlap, 2 * self.tail_halo, ov)
                 plan = make_cover_plan(
                     ph, pw, self.scale, tile_h=min(ph, tl[0]),
-                    tile_w=min(pw, tl[1]), overlap=self.overlap)
+                    tile_w=min(pw, tl[1]), overlap=ov)
             elif mode == "reference":
                 plan = make_reference_plan(h, w, self.scale, patch=self.patch, step=self.step)
             elif mode == "auto":

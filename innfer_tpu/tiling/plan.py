@@ -286,6 +286,10 @@ def make_cover_plan(h: int, w: int, scale: int, *, tile_h: int, tile_w: int,
     canvas and the scatter-free recompose handle arbitrary static starts.
     """
     th, tw = min(tile_h, h), min(tile_w, w)
+    if th < h and overlap >= th or tw < w and overlap >= tw:
+        raise ValueError(
+            f"overlap {overlap} must be smaller than the tile "
+            f"({th}x{tw}) — a non-positive stride cannot cover the image")
     starts_h = tuple(_starts(h, th, th - overlap)) if th < h else (0,)
     starts_w = tuple(_starts(w, tw, tw - overlap)) if tw < w else (0,)
 

@@ -418,3 +418,29 @@ class TestHybrid:
         r.HYBRID_PX_CAP = 100 * 130 - 1
         plan = r.plan_for(200, 260, run_dtype=jnp.float32)
         assert plan.n_tiles > 1 and plan.pad_h >= 200
+
+    def test_hybrid_clamps_overlap_to_tail_halo(self):
+        # seam-exactness needs overlap >= 2*tail_halo (ADVICE r3): a tiny
+        # --overlap must be clamped, not silently produce seam artifacts
+        model, params = self._model()
+        assert model.tail_halo > 0
+        r = TiledRunner(model.apply, 4, mode="hybrid", tile=(48, 48),
+                        overlap=1, tile_batch=4,
+                        trunk_fn=model.apply_trunk, tail_fn=model.apply_tail,
+                        tail_halo=model.tail_halo)
+        plan = r.plan_for(70, 90, run_dtype=jnp.float32)
+        if plan.n_tiles > 1:
+            strides = [b - a for a, b in
+                       zip(plan.starts_w, plan.starts_w[1:])]
+            assert plan.tile_w - max(strides) >= 2 * model.tail_halo
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.random((1, 70, 90, 3), np.float32))
+        whole = np.asarray(model.apply(params, x))
+        out = np.asarray(r(params, x))
+        assert psnr(out, whole) > 45
+
+    def test_cover_plan_rejects_oversized_overlap(self):
+        from innfer_tpu.tiling.plan import make_cover_plan
+
+        with pytest.raises(ValueError, match="overlap"):
+            make_cover_plan(100, 100, 4, tile_h=48, tile_w=48, overlap=48)
