@@ -179,7 +179,7 @@ def main():
     ap.add_argument("--overlap", type=int, default=16)
     ap.add_argument("--tile-batch", type=int, default=8)
     ap.add_argument("--tile-mode",
-                    choices=["auto", "uniform", "reference", "hybrid"],
+                    choices=["auto", "uniform", "reference", "hybrid", "none"],
                     default="auto")
     ap.add_argument("--max-group-px", type=int, default=1_400_000)
     ap.add_argument("--iters", type=int, default=4)
@@ -223,6 +223,19 @@ def main():
     rng = np.random.default_rng(0)
 
     def tiled(model, params, h, w, **kw):
+        if args.tile_mode == "none":
+            # whole-image forward: probes the per-op/dispatch floor that
+            # binds small-spatial tiled configs (cyclegan/ppon; VERDICT r3)
+            x = jnp.asarray(rng.random((1, h, w, 3), np.float32), dtype)
+
+            def fwd(p, t):
+                out = model.apply(p, t)
+                if model.output_index is not None:
+                    out = out[model.output_index]
+                return out
+
+            jfwd = jax.jit(fwd)
+            return (lambda: jfwd(params, x)), h * w * model.scale ** 2 / 1e6
         runner = TiledRunner(
             model.apply, model.scale, mode=args.tile_mode, tile=args.tile,
             overlap=args.overlap, tile_batch=args.tile_batch,
@@ -236,11 +249,12 @@ def main():
         return lambda: runner(params, x), h * w * model.scale ** 2 / 1e6
 
     h, w = args.height, args.width
+    how = "whole-image" if args.tile_mode == "none" else "tiled"
     if args.model == "esrgan":
         model, params = SP.build("esrgan", scale=args.scale, dtype=dtype,
                                  nb=args.nb, nf=args.nf)
         step, out_mp = tiled(model, params, h, w)
-        desc = f"{args.scale}x RRDB(nb={args.nb}, nf={args.nf}) {h}x{w} tiled"
+        desc = f"{args.scale}x RRDB(nb={args.nb}, nf={args.nf}) {h}x{w} {how}"
     elif args.model == "srresnet":
         model, params = SP.build("srresnet", scale=args.scale, dtype=dtype,
                                  nb=16, nf=64)
@@ -298,11 +312,11 @@ def main():
     elif args.model == "cyclegan":
         model, params = SP.build("cyclegan", dtype=dtype, n_blocks=9, ngf=64)
         step, out_mp = tiled(model, params, h // 2, w // 2)
-        desc = f"CycleGAN ResNet-9 {h // 2}x{w // 2} tiled"
+        desc = f"CycleGAN ResNet-9 {h // 2}x{w // 2} {how}"
     elif args.model == "ppon":
         model, params = SP.build("ppon", scale=4, dtype=dtype, nb=24)
         step, out_mp = tiled(model, params, h // 2, w // 2)
-        desc = f"4x PPON {h // 2}x{w // 2} tiled (perceptual branch)"
+        desc = f"4x PPON {h // 2}x{w // 2} {how} (perceptual branch)"
     elif args.model == "wbc":
         model, params = SP.build("wbc", dtype=dtype, nf=32)
         x = jnp.asarray(rng.random((1, (h // 4) * 4, (w // 4) * 4, 3),

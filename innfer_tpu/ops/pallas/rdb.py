@@ -448,14 +448,23 @@ def _rdb_kernel_pipelined(
 
 
 MAX_BW = int(os.environ.get("INNFER_MAX_BW", "320"))
+# Wide tiles (width > MAX_BW, i.e. the hybrid whole-image trunk) use a
+# LOWER block-width cap than full-width strips: a bw=320 block on a
+# 1088x1920 trunk needs 123.5M of scoped VMEM — over the backend's 100M
+# budget (it only compiles at INNFER_VMEM_MB=124, 3M below the chip's
+# physical VMEM) and measured within window noise of bw=240 anyway
+# (19.88 vs 19.77 MP/s end-to-end, round 4).  240 fits the standard
+# budget with margin; halo inflation 1.067 vs 1.05.
+MAX_WIDE_BW = int(os.environ.get("INNFER_MAX_WIDE_BW", "256"))
 
 
 def _wide_bw(tw: int) -> int:
-    """Largest 16-multiple divisor of a wide tile width in [64, MAX_BW]
-    (0 if none): the block width for tiles wider than one strip, e.g. the
-    hybrid whole-image trunk (1920 -> 320).  Larger bw = lower halo
-    inflation ((bw+16)/bw), so take the largest."""
-    for bw in range(min(MAX_BW, tw) // 16 * 16, 48, -16):
+    """Largest 16-multiple divisor of a wide tile width in [64,
+    MAX_WIDE_BW] (0 if none): the block width for tiles wider than one
+    strip, e.g. the hybrid whole-image trunk (1920 -> 240).  Larger bw =
+    lower halo inflation ((bw+16)/bw), so take the largest that fits the
+    scoped-VMEM budget."""
+    for bw in range(min(MAX_WIDE_BW, tw) // 16 * 16, 48, -16):
         if tw % bw == 0:
             return bw
     return 0

@@ -280,10 +280,13 @@ def test_auto_block_wide_tiles(rng):
     block-width divisor <= the VMEM cap instead of falling to 64x64."""
     from innfer_tpu.ops.pallas.rdb import _auto_block, _wide_bw
 
-    assert _wide_bw(1920) == 320 and _wide_bw(1936) == 176
+    # wide-bw cap is 256 (MAX_WIDE_BW): bw=320 on a 1088x1920 trunk
+    # needs 123.5M scoped VMEM (over the backend's 100M budget) and is
+    # within window noise of bw=240 end-to-end (19.88 vs 19.77 MP/s, r4)
+    assert _wide_bw(1920) == 240 and _wide_bw(1936) == 176
     assert _wide_bw(100) == 0  # no 16-mult divisor >= 64
-    assert _auto_block(1088, 1920) == (64, 320)
-    assert _auto_block(576, 576) == (64, 288)
+    assert _auto_block(1088, 1920) == (64, 240)
+    assert _auto_block(576, 576) == (64, 192)
     assert _auto_block(576, 256) == (64, 256)  # strip regime unchanged
 
     # exactness through the auto wide-block path (2 blocks of 32x176)

@@ -444,3 +444,33 @@ class TestHybrid:
 
         with pytest.raises(ValueError, match="overlap"):
             make_cover_plan(100, 100, 4, tile_h=48, tile_w=48, overlap=48)
+
+    def test_auto_upgrades_to_hybrid_when_eligible(self, monkeypatch):
+        # on a bf16 TPU run, mode='auto' with a trunk/tail split and a
+        # kernel-eligible whole-image shape self-upgrades to hybrid (the
+        # measured-faster regime, round 4); CPU/fp32/mesh runs keep auto
+        model, params = self._model()
+        r = TiledRunner(model.apply, 4, mode="auto", overlap=16,
+                        tile_batch=8, tile_quantum=64,
+                        trunk_fn=model.apply_trunk, tail_fn=model.apply_tail,
+                        tail_halo=model.tail_halo,
+                        compute_dtype=jnp.bfloat16)
+        import innfer_tpu.tiling.engine as eng
+
+        monkeypatch.setattr(eng.jax, "default_backend", lambda: "tpu")
+        assert r._mode_for(1080, 1920, jnp.bfloat16) == "hybrid"
+        # over the px cap: stays auto
+        assert r._mode_for(4320, 7680, jnp.bfloat16) == "auto"
+        # fp32 (no kernel): stays auto
+        r32 = TiledRunner(model.apply, 4, mode="auto", tile_quantum=64,
+                          trunk_fn=model.apply_trunk,
+                          tail_fn=model.apply_tail,
+                          compute_dtype=jnp.float32)
+        assert r32._mode_for(1080, 1920, jnp.float32) == "auto"
+        # no trunk/tail split: stays auto
+        rns = TiledRunner(model.apply, 4, mode="auto", tile_quantum=64,
+                          compute_dtype=jnp.bfloat16)
+        assert rns._mode_for(1080, 1920, jnp.bfloat16) == "auto"
+        # CPU backend (the test default): stays auto
+        monkeypatch.undo()
+        assert r._mode_for(1080, 1920, jnp.bfloat16) == "auto"

@@ -1,18 +1,29 @@
-"""On-chip Pallas parity artifact (ONCHIP_r{N}.json).
+"""On-chip Pallas parity GATE (ONCHIP_r{N}.json): the release check.
 
 Interpret-mode tests (tests/test_pallas_rdb.py) validate kernel math on
 CPU, but this backend's Mosaic quirks — layout canonicalization, DMA
 alignment, the output-aliasing path (ops/pallas/rdb.py) — are exactly the
 class of bug interpret mode cannot see.  This tool runs the PRODUCTION
-path on the real chip and records the evidence the test suite can't:
+path on the real chip, records the evidence the test suite can't, and
+GATES on explicit thresholds (exit 1 on any miss; the artifact is written
+unconditionally with pass/fail per check and the expected-difference
+explanations inline):
 
   * kernel-level: fused_rdb (serial + pipelined drivers) vs the XLA conv
-    chain on one tile batch -> max|diff| and PSNR,
-  * end-to-end: the full bf16 tiled 4x RRDB forward with backend='auto'
-    (fused Pallas trunk) vs backend='xla' -> PSNR + both throughputs.
+    chain on one tile batch -> PSNR >= 60 dB,
+  * end-to-end tiled: bf16 4x RRDB backend='auto' (fused Pallas trunk)
+    vs backend='xla', SAME tile plan -> PSNR >= 40 dB (bf16 kernel-vs-XLA
+    accumulation-order noise integrated over 23 blocks; NOT seams),
+  * end-to-end hybrid: the PRODUCTION headline path (whole-image Pallas
+    trunk + tiled tail) vs the plain XLA tile grid -> PSNR >= 35 dB
+    (adds trunk seam-blend vs whole-image differences, which are real
+    but bounded; hybrid is the MORE exact of the two vs an untiled ref),
+  * CycleGAN fused ResnetBlock (opt-in backend='pallas') vs XLA
+    -> PSNR >= 40 dB.
 
-Regenerate each round:
-  nohup python tools/on_chip_parity.py --out ONCHIP_r03.json > /tmp/parity.log 2>&1 &
+Run at round end and BEFORE flipping any kernel-default (README: release
+gate):
+  nohup python tools/on_chip_parity.py --out ONCHIP_r04.json > /tmp/parity.log 2>&1 &
 """
 from __future__ import annotations
 
@@ -23,14 +34,34 @@ import time
 
 sys.path.insert(0, ".")
 
+# gate thresholds (dB); see module docstring for what each isolates
+THRESHOLDS = {
+    "kernel_serial_vs_xla_psnr_db": 60.0,
+    "kernel_pipelined_vs_xla_psnr_db": 60.0,
+    "e2e_auto_vs_xla_psnr_db": 40.0,
+    "e2e_hybrid_vs_xla_psnr_db": 35.0,
+    "cg_pallas_vs_xla_psnr_db": 40.0,
+}
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="ONCHIP_r03.json")
-    ap.add_argument("--height", type=int, default=540)
-    ap.add_argument("--width", type=int, default=960)
-    args = ap.parse_args()
+EXPLANATIONS = {
+    "e2e_auto_vs_xla_psnr_db": (
+        "same tile plan both sides: the delta is bf16 accumulation-order "
+        "noise between the fused kernel and XLA's conv chain integrated "
+        "over nb=23 blocks (~48 dB expected), not seam placement"),
+    "e2e_hybrid_vs_xla_psnr_db": (
+        "hybrid runs the trunk whole-image (seamless) while the XLA side "
+        "blends 256px tiles, so this also measures the tile grid's own "
+        "seam error; vs an untiled fp32 reference hybrid is the closer "
+        "one (see tests/test_tiling.py::TestHybrid CPU parity, 54 dB)"),
+    "cg_perf_note": (
+        "cg_pallas_mps may trail cg_xla_mps: CycleGAN tiles are "
+        "launch-floor-bound, the fused block is within noise of XLA "
+        "(ROUND3.md, tools/out/cg_tiled_ab.json) — the kernel stays "
+        "opt-in; this gate checks its NUMERICS only"),
+}
 
+
+def _measure(args, results):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -58,8 +89,8 @@ def main():
         rng = max(1.0, np.abs(b).max())
         return float("inf") if mse == 0 else 10 * np.log10(rng * rng / mse)
 
-    results = {"backend": jax.default_backend(),
-               "jax": jax.__version__}
+    results["backend"] = jax.default_backend()
+    results["jax"] = jax.__version__
     rng = np.random.default_rng(7)
 
     # --- kernel level -----------------------------------------------------
@@ -132,6 +163,26 @@ def main():
     print("e2e:", {k: v for k, v in results.items() if "e2e" in k},
           flush=True)
 
+    # --- end to end, hybrid (the production headline path) ----------------
+    hy_runner = TiledRunner(
+        model.apply, 4, mode="hybrid", tile=256, overlap=16, tile_batch=8,
+        compute_dtype=dtype, max_group_px=1_400_000,
+        tile_quantum=model.tile_quantum,
+        tile_quantum_strict=model.tile_quantum_strict,
+        trunk_fn=model.apply_trunk, tail_fn=model.apply_tail,
+        tail_halo=model.tail_halo)
+    sync(hy_runner(params, x))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = hy_runner(params, x)
+        sync(out)
+    results["e2e_hybrid_mps"] = round(
+        H * W * 16 / ((time.perf_counter() - t0) / 3) / 1e6, 2)
+    results["e2e_hybrid_vs_xla_psnr_db"] = round(
+        psnr(np.asarray(out, np.float32), outs["xla"]), 1)
+    print("hybrid:", {k: v for k, v in results.items() if "hybrid" in k},
+          flush=True)
+
     # --- CycleGAN fused ResnetBlock (ops/pallas/resnet_block.py) ----------
     cg_model, cg_params = SP.build("cyclegan", dtype=dtype, n_blocks=9,
                                    ngf=64)
@@ -157,9 +208,40 @@ def main():
     print("cyclegan:", {k: v for k, v in results.items() if "cg_" in k},
           flush=True)
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="ONCHIP_r04.json")
+    ap.add_argument("--height", type=int, default=540)
+    ap.add_argument("--width", type=int, default=960)
+    args = ap.parse_args()
+
+    results = {}
+    try:
+        _measure(args, results)
+    except Exception:  # still write the artifact; the gate fails on gaps
+        import traceback
+
+        results["error"] = traceback.format_exc()
+        print(results["error"], file=sys.stderr)
+
+    # --- gate --------------------------------------------------------------
+    checks = {}
+    for key, thr in THRESHOLDS.items():
+        got = results.get(key)
+        checks[key] = {"threshold_db": thr, "measured_db": got,
+                       "pass": got is not None and got >= thr}
+    results["explanations"] = EXPLANATIONS
+    results["checks"] = checks
+    results["pass"] = all(c["pass"] for c in checks.values())
+
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
-    print(json.dumps(results))
+    print(json.dumps({k: results[k] for k in ("pass", "checks")}))
+    if not results["pass"]:
+        failed = [k for k, c in checks.items() if not c["pass"]]
+        print(f"PARITY GATE FAILED: {failed}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
