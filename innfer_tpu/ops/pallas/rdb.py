@@ -57,21 +57,13 @@ COL_MARGIN = 8
 # dimension" Mosaic error this guarded against).
 TAIL_CANON = os.environ.get("INNFER_TAIL_CANON", "none")
 
-# PERF-ABLATION ONLY (tools/kernel_cost_sweep.py): "suffix" is the
-# correct math (activation tail = last gc accumulator columns, a
-# lane-offset slice); "prefix" reads the first gc columns instead —
-# WRONG RESULTS, but the offset-0 slice needs no implicit relayout, so
-# (base - prefix_tail) isolates what Mosaic's relayout of the offset
-# slice costs.
-TAIL_SLICE = "suffix"
-
-# Experiment hook (exact math either way): pack the WIDE first source's
-# nine taps into ONE K=9*nf dot instead of three K=3*nf dots.  MXU K
-# padding drops from 4/3 (192->256, x3) to 10/9 (576->640) on the source
-# that carries 46% of RDB FLOPs, at the price of materializing the
-# (pp, 9*nf) im2col concat in VMEM.  Round 2 measured the concat a net
-# loss on the OLD kernel; re-probed by tools/kernel_cost_sweep.py.
-SRC0_PACK9 = False
+# Rejected experiments (round-4 cleanup; dated artifacts in tools/out/):
+#   * activation-tail PREFIX slice ablation (wrong math, isolated Mosaic's
+#     relayout cost of the lane-offset suffix slice): kernel_cost_sweep.json
+#     "prefix_tail" — the cost is mostly recovered exactly by TAIL_WIDE_BF16.
+#   * SRC0_PACK9 (wide source as one K=9*nf dot): measured a net loss in
+#     rounds 2 AND 3 (kernel_cost_sweep.json "src0_pack9") — the (pp, 9*nf)
+#     VMEM im2col concat costs more than the MXU K-padding it saves.
 
 # Exact-math experiment hooks for the two dominant VPU costs measured by
 # tools/kernel_cost_sweep.py (base 44.9 / no-dx 56.5 / offset-0 tail 59.3
@@ -200,13 +192,6 @@ def _rdb_compute(
             [_shift_rows(src, -1), src, _shift_rows(src, 1)], axis=1
         )  # (pp, 3*c_s): [src[j-1], src[j], src[j+1]]
         w = wt_ref[:]
-        if SRC0_PACK9 and c_s == nf:
-            # one K=9*nf dot for the wide source (see SRC0_PACK9 above);
-            # row order (dy, dx, ci) matches the dy-concat of dx trios
-            im9 = jnp.concatenate(
-                [_shift_rows(trio, -wp), trio, _shift_rows(trio, wp)],
-                axis=1)
-            return jnp.dot(im9, w, preferred_element_type=jnp.float32)
         # One dot per vertical tap instead of materializing the full
         # (pp, 9*c_s) im2col: the 9-wide concat costs an extra write+read
         # of ~7 MB/source of VMEM traffic per block, while three K=3*c_s
@@ -237,8 +222,8 @@ def _rdb_compute(
             # columns of the act copy are discarded by the slice.
             a = jnp.where(v >= 0, v, v * neg_slope)
             a = jnp.where(valid, a, 0.0).astype(xf.dtype)
-            return a[:, :gc] if TAIL_SLICE == "prefix" else a[:, n - gc:]
-        pre = v[:, :gc] if TAIL_SLICE == "prefix" else v[:, n - gc:]
+            return a[:, n - gc:]
+        pre = v[:, n - gc:]
         if TAIL_CANON == "axis0":
             pre = _canon(pre, pp)
         a = jnp.where(pre >= 0, pre, pre * neg_slope)

@@ -144,18 +144,6 @@ def test_tail_canon_modes_agree(rng, monkeypatch):
     np.testing.assert_array_equal(outs["none"], outs["axis0"])
 
 
-def test_src0_pack9_exact(rng, monkeypatch):
-    """The wide-source 9-tap K-pack (SRC0_PACK9) is a re-association of
-    the same taps; must match the trio form to fp32 tolerance."""
-    import innfer_tpu.ops.pallas.rdb as R
-    ws, bs = _make_rdb(rng, 64, 32)
-    x = jnp.asarray(rng.standard_normal((1, 32, 32, 64)).astype(np.float32))
-    base = np.asarray(R.fused_rdb(x, ws, bs, gc=32, block=(16, 16), interpret=True))
-    monkeypatch.setattr(R, "SRC0_PACK9", True)
-    packed = np.asarray(R.fused_rdb(x, ws, bs, gc=32, block=(16, 16), interpret=True))
-    np.testing.assert_allclose(packed, base, atol=3e-6, rtol=3e-6)
-
-
 def test_dx_slice_and_wide_tail_exact(rng, monkeypatch):
     """The DX_MODE='slice' (+-1 shifts as native-dtype slice+concat) and
     TAIL_WIDE_BF16 (full-width act, cast, then slice) hooks are exact-math

@@ -7,13 +7,12 @@ movement components disabled (WRONG MATH — perf only):
 
   base         the production kernel (reversed-suffix acc, tail canon none)
   nodx         dx +-1 source shifts disabled (two f32 pltpu.roll per source)
-  prefix_tail  activation tail reads the offset-0 PREFIX slice instead of
-               the lane-offset suffix (isolates Mosaic's implicit relayout
-               of the offset slice)
   floor        all shifts disabled: dots + acc adds + act/mask + DMA only
-  prefix_floor floor + prefix tail: the full no-data-movement ceiling
-  src0_pack9   EXACT variant: wide source as one K=9*nf dot (MXU K-pad
-               10/9 instead of 4/3 on 46% of FLOPs, vs a 9-wide concat)
+
+(Retired arms — see tools/out/kernel_cost_sweep.json for their recorded
+numbers: prefix_tail/prefix_floor isolated the lane-offset tail-slice
+relayout, since recovered exactly by TAIL_WIDE_BF16; src0_pack9 measured
+a net loss twice and was deleted from the kernel in round 4.)
 
 The (base - variant) deltas rank the VPU costs.  History: the round-3
 sweep of the OLD kernel (monolithic acc + wide drop-col lane-rolls)
@@ -78,17 +77,15 @@ def main():
     def shift_none(v, k):
         return v
 
-    # (shift_fn, tail_slice) per variant; the old PltpuProxy axis-1
-    # ablation is obsolete (the reversed-suffix kernel has no axis-1
-    # rolls left)
+    # shift_fn per variant.  Retired arms (deleted from the kernel in
+    # round 4, results recorded in tools/out/kernel_cost_sweep.json):
+    # prefix_tail/prefix_floor (TAIL_SLICE ablation — the relayout cost
+    # they isolated is recovered exactly by TAIL_WIDE_BF16) and
+    # src0_pack9 (net loss both times measured).
     variants = {
-        "base": (orig_shift, "suffix", False),
-        "nodx": (shift_nodx, "suffix", False),
-        "prefix_tail": (orig_shift, "prefix", False),
-        "floor": (shift_none, "suffix", False),
-        "prefix_floor": (shift_none, "prefix", False),
-        # exact math (not an ablation): wide-source 9-tap K-pack
-        "src0_pack9": (orig_shift, "suffix", True),
+        "base": orig_shift,
+        "nodx": shift_nodx,
+        "floor": shift_none,
     }
 
     # --- trunk weights ---
@@ -110,10 +107,8 @@ def main():
 
     from innfer_tpu.ops.pallas.rdb import fused_rdb
 
-    for name, (shift_fn, tail_slice, pack9) in variants.items():
+    for name, shift_fn in variants.items():
         R._shift_rows = shift_fn
-        R.TAIL_SLICE = tail_slice
-        R.SRC0_PACK9 = pack9
         try:
             t_compile = time.perf_counter()
             run = jax.jit(lambda t: lax.scan(
@@ -130,8 +125,6 @@ def main():
             results[name] = {"error": f"{type(e).__name__}: {str(e)[:250]}"}
         finally:
             R._shift_rows = orig_shift
-            R.TAIL_SLICE = "suffix"
-            R.SRC0_PACK9 = False
         print(name, results[name], flush=True)
 
     os.makedirs("tools/out", exist_ok=True)
