@@ -174,6 +174,10 @@ def make_auto_plan(
     """
 
     def batch_penalty(chunk: int) -> float:
+        # Measured end-to-end (tools/out/plan_ab.json, round 4): the SAME
+        # 1088x256 strip plan ran 2.23x slower per pixel at chunk 4 than
+        # at chunk 8 on the production TiledRunner — the 2.0 step is the
+        # real cliff, not an artifact of the batch-1 chain estimate.
         if chunk >= 8:
             return 1.0
         return 2.0 if chunk <= 4 else 1.3

@@ -42,6 +42,9 @@ def main():
 
     rng = np.random.default_rng(0)
     results = {}
+    # batch 1/4/8 on the FLOP-dominant UNet shapes (the decision must hold
+    # across batch sizes, VERDICT r3 #4); small shapes at batch 8 only
+    # (they are per-op-floor-bound, batch hardly moves them)
     shapes = [
         ("unet_inner_2", 8, 2, 2, 1024, 512, 4, 0),
         ("unet_4", 8, 4, 4, 1024, 512, 4, 0),
@@ -49,9 +52,14 @@ def main():
         ("unet_16", 8, 16, 16, 1024, 512, 4, 0),
         ("unet_32", 8, 32, 32, 1024, 256, 4, 0),
         ("unet_64", 8, 64, 64, 512, 128, 4, 0),
+        ("unet_64_b4", 4, 64, 64, 512, 128, 4, 0),
+        ("unet_64_b1", 1, 64, 64, 512, 128, 4, 0),
         ("unet_128", 8, 128, 128, 256, 64, 4, 0),
+        ("unet_128_b4", 4, 128, 128, 256, 64, 4, 0),
+        ("unet_128_b1", 1, 128, 128, 256, 64, 4, 0),
         ("cg_up1", 8, 80, 64, 256, 128, 3, 1),
         ("cg_up2", 8, 160, 128, 128, 64, 3, 1),
+        ("cg_up2_b1", 1, 160, 128, 128, 64, 3, 1),
     ]
     for name, b, h, w, ci, co, k, op in shapes:
         x = jnp.asarray(rng.standard_normal((b, h, w, ci)), jnp.bfloat16)
@@ -97,6 +105,11 @@ def main():
                          "subpixel_us": round(s * 1e6, 1),
                          "subpixel_speedup": round(d / s, 2)}
         print(name, results[name], flush=True)
+    import os
+
+    os.makedirs("tools/out", exist_ok=True)
+    with open("tools/out/deconv_ab.json", "w") as f:
+        json.dump(results, f, indent=2)
     print(json.dumps(results))
 
 
