@@ -84,6 +84,15 @@ TAIL_CANON = os.environ.get("INNFER_TAIL_CANON", "none")
 # dx cost stands until a backend rev accepts sublane-offset concats.
 DX_MODE = os.environ.get("INNFER_DX_MODE", "roll")
 TAIL_WIDE_BF16 = os.environ.get("INNFER_TAIL_WIDE", "1") == "1"
+# Round-4 hook-sweep verdict (VERDICT r3 #6): TAIL_WIDE + TAIL_CANON stay
+# as ONE documented fallback chain, not independent experiments.  The
+# production path (TAIL_WIDE=1) slices a lane-offset bf16 value and
+# trusts Mosaic's implicit relayout — the exact operation the recorded
+# "offset mismatch on non-concat dimension" compiler error class breaks.
+# If a backend rev reintroduces it, the recovery is INNFER_TAIL_WIDE=0
+# INNFER_TAIL_CANON=axis0 (explicit f32 canonicalization, exact, -4 TF/s).
+# Artifacts: dx_tail_exact_ab.json (tail_wide 47.2 vs 44.8, bitwise),
+# tail_canon_ab.json (none 45.0 vs axis0 40.9, exact parity).
 
 
 def _pack_source_weights(weights: List[jax.Array], nf: int, gc: int):
