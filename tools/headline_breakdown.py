@@ -33,7 +33,13 @@ def main():
     from tools import synth_params as SP
 
     def sync(x):
-        return float(jax.jit(lambda t: jnp.sum(t.astype(jnp.float32)))(x))
+        # ONE persistent jitted checksum (observability.device_sync): a
+        # fresh jax.jit per call costs ~0.47 s on this tunneled backend
+        # (vs 0.03 s; measured round 4) and was silently inflating every
+        # timed sample in these tools.
+        from innfer_tpu.observability import device_sync
+
+        device_sync(x)
 
     def timed(fn, n=3, warm=1):
         for _ in range(warm):

@@ -28,7 +28,13 @@ def main():
     from tools import synth_params as SP
 
     def sync(x):
-        return float(jax.jit(lambda t: jnp.sum(t.astype(jnp.float32)))(x))
+        # ONE persistent jitted checksum (observability.device_sync): a
+        # fresh jax.jit per call costs ~0.47 s on this tunneled backend
+        # (vs 0.03 s; measured round 4) and was silently inflating every
+        # timed sample in these tools.
+        from innfer_tpu.observability import device_sync
+
+        device_sync(x)
 
     def timed(fn, n=3):
         sync(fn())
@@ -65,6 +71,11 @@ def main():
     xe = jnp.asarray(rng.random((1, 540, 960, 3), np.float32), dtype)
     run_config("esrgan_t320", esr, esrp, 4, xe, 320, 64)
 
+    import os
+
+    os.makedirs("tools/out", exist_ok=True)
+    with open("tools/out/map_unroll_ab.json", "w") as f:
+        json.dump(results, f, indent=2)
     print(json.dumps(results))
 
 

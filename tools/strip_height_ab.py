@@ -34,7 +34,13 @@ def main():
     from innfer_tpu.ops.pallas.rdb import fused_rdb
 
     def sync(x):
-        return float(jax.jit(lambda t: jnp.sum(t.astype(jnp.float32)))(x))
+        # ONE persistent jitted checksum (observability.device_sync): a
+        # fresh jax.jit per call costs ~0.47 s on this tunneled backend
+        # (vs 0.03 s; measured round 4) and was silently inflating every
+        # timed sample in these tools.
+        from innfer_tpu.observability import device_sync
+
+        device_sync(x)
 
     results = {}
 
