@@ -144,17 +144,16 @@ def conv_transpose2d(
         padding = (padding, padding)
     if isinstance(output_padding, int):
         output_padding = (output_padding, output_padding)
+    # Lowering decision (round 4, tools/out/subpixel_e2e_ab.json): the
+    # input-dilated form is the ONLY path.  An exact subpixel rewrite
+    # (k2x2 phase conv + pixel shuffle, 4x fewer MACs) was built in
+    # round 3 and measured +24% — but that A/B carried a 0.47 s/call
+    # sync artifact; the clean same-window e2e re-measurement shows
+    # dilated FASTER at every UNet batch size (1.5-2.2%) and for
+    # CycleGAN (5%): the UNet-256 forward sits entirely under this
+    # backend's per-call floor (b1==b4==b8 ~27 ms), so the rewrite's
+    # extra slice/stack/shuffle ops cost more than the MACs they save.
     kh, kw = w.shape[0], w.shape[1]
-    mode = _subpixel_mode()
-    if mode != "0":
-        if (kh, kw) == (4, 4) and stride == (2, 2) and padding == (1, 1) \
-                and output_padding == (0, 0):
-            return _conv_transpose_subpixel_k4s2p1(x, w, b,
-                                                   accum_dtype=accum_dtype)
-        if mode == "all" and (kh, kw) == (3, 3) and stride == (2, 2) \
-                and padding == (1, 1) and output_padding == (1, 1):
-            return _conv_transpose_subpixel_k3s2p1op1(x, w, b,
-                                                      accum_dtype=accum_dtype)
     pads = [
         (kh - 1 - padding[0], kh - 1 - padding[0] + output_padding[0]),
         (kw - 1 - padding[1], kw - 1 - padding[1] + output_padding[1]),
@@ -168,106 +167,6 @@ def conv_transpose2d(
         dimension_numbers=_DIMNUMS_NHWC,
         preferred_element_type=accum_dtype,
     )
-    if b is not None:
-        out = out + b.astype(accum_dtype)
-    return out.astype(x.dtype)
-
-
-def _subpixel_mode() -> str:
-    """Lowering gate for subpixel deconvs (both forms are exact, this only
-    selects the lowering).  INNFER_SUBPIXEL: "1" (default) = k4 only
-    (UNet; +24% same-window on the v5e bench), "all" = also k3
-    (CycleGAN; measured slightly negative there — its deconvs are tiny
-    and the per-op floor dominates), "0" = always input-dilated."""
-    import os
-
-    return os.environ.get("INNFER_SUBPIXEL", "1")
-
-
-def _conv_transpose_subpixel_k4s2p1(
-    x: Array, w: Array, b: Optional[Array], *, accum_dtype=jnp.float32,
-) -> Array:
-    """ConvTranspose2d(k=4, s=2, p=1) as ONE k2x2 conv + pixel shuffle.
-
-    The general path lowers to an input-dilated conv whose 4x4 windows are
-    3/4 zeros; on the TPU conv emitter that wastes MXU work and pads the
-    dilated activation.  Because stride 2 partitions the 16 taps into four
-    2x2 phase kernels (output phase (a, b) only ever reads taps
-    (2dy+a, 2dx+b)), the whole deconv is exactly
-
-        phase (a,b): out[2i+a, 2j+b] = sum_{dy,dx} xp[i+a+dy, j+b+dx]
-                                        * wf[2dy+a, 2dx+b]   (xp = pad(x,1))
-
-    i.e. one VALID k2x2 conv over the padded input with 4*O phase-major
-    output channels, four shifted slices, and a PixelShuffle interleave.
-    FLOPs = 16*I*O per input pixel — the information-theoretic minimum.
-    ``w`` is the converter's flipped HWIO kernel (see conv_transpose2d).
-    """
-    bsz, h, wdt, _ = x.shape
-    cin, cout = w.shape[2], w.shape[3]
-    # wr[dy, a, dx, b, i, o] = w[2dy+a, 2dx+b, i, o]
-    wr = w.reshape(2, 2, 2, 2, cin, cout)
-    # phase-major channels: psi = (a*2+b)*cout + o
-    wk = wr.transpose(0, 2, 4, 1, 3, 5).reshape(2, 2, cin, 4 * cout)
-    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
-    co = lax.conv_general_dilated(
-        xp, wk.astype(x.dtype), (1, 1), "VALID",
-        dimension_numbers=_DIMNUMS_NHWC,
-        preferred_element_type=accum_dtype,
-    )  # (B, h+1, w+1, 4*cout)
-    parts = [
-        co[:, a: a + h, bb: bb + wdt,
-           (2 * a + bb) * cout: (2 * a + bb + 1) * cout]
-        for a in (0, 1) for bb in (0, 1)
-    ]
-    t = jnp.stack(parts, axis=-1).reshape(bsz, h, wdt, cout * 4)
-    out = pixel_shuffle(t, 2)
-    if b is not None:
-        out = out + b.astype(accum_dtype)
-    return out.astype(x.dtype)
-
-
-def _conv_transpose_subpixel_k3s2p1op1(
-    x: Array, w: Array, b: Optional[Array], *, accum_dtype=jnp.float32,
-) -> Array:
-    """ConvTranspose2d(k=3, s=2, p=1, output_padding=1) — the CycleGAN
-    upsampler — as ONE k2x2 conv + pixel shuffle (see the k4 variant).
-
-    Stride 2 splits the 9 taps by output phase: phase 0 reads only tap 1,
-    phase 1 reads taps {0, 2} (per dimension).  Packed as four k2x2 phase
-    kernels (zeros in unused taps) over the right/bottom-padded input; the
-    output_padding row/col falls out of the zero pad.  16 (1/4 zero)
-    MACs/px instead of the dilated form's 36."""
-    bsz, h, wdt, _ = x.shape
-    cin, cout = w.shape[2], w.shape[3]
-    z = jnp.zeros((cin, cout), w.dtype)
-    # t_y(a, dy): phase 0 -> [w1, 0]; phase 1 -> [w0, w2] (same for x dim)
-    taps = {0: (1, None), 1: (0, 2)}
-
-    def tap(ty, tx):
-        if ty is None or tx is None:
-            return z
-        return w[ty, tx]
-
-    wk = jnp.stack([
-        jnp.stack([
-            jnp.stack([tap(taps[a][dy], taps[bb][dx]) for dx in (0, 1)])
-            for dy in (0, 1)
-        ])
-        for a in (0, 1) for bb in (0, 1)
-    ])  # (phase, dy, dx, cin, cout)
-    wk = wk.transpose(1, 2, 3, 0, 4).reshape(2, 2, cin, 4 * cout)
-    xp = jnp.pad(x, [(0, 0), (0, 1), (0, 1), (0, 0)])
-    co = lax.conv_general_dilated(
-        xp, wk.astype(x.dtype), (1, 1), "VALID",
-        dimension_numbers=_DIMNUMS_NHWC,
-        preferred_element_type=accum_dtype,
-    )  # (B, h, w, 4*cout) channels (a*2+b)*... see transpose below
-    # channel layout after transpose: psi = phase*cout + o -> regroup to
-    # o*4 + phase for pixel_shuffle
-    co = co.reshape(bsz, h, wdt, 4, cout).transpose(0, 1, 2, 4, 3)
-    t = co.reshape(bsz, h, wdt, cout * 4)
-    out = pixel_shuffle(t, 2)
     if b is not None:
         out = out + b.astype(accum_dtype)
     return out.astype(x.dtype)

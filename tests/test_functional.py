@@ -65,6 +65,25 @@ def test_conv_transpose2d(rng, k, stride, padding, output_padding):
     assert_close(out, ref)
 
 
+def test_conv_transpose2d_lowering_is_input_dilated(rng):
+    """Pin the ONE deconv lowering (round-4 decision, VERDICT r3 #4).
+
+    The subpixel rewrite was removed after the clean same-window e2e A/B
+    (tools/out/subpixel_e2e_ab.json) showed input-dilated faster at every
+    UNet batch size and for CycleGAN; this guards against the lowering
+    silently changing (the jaxpr must be a single lhs-dilated conv)."""
+    import jax
+
+    x = jnp.zeros((1, 8, 8, 8), jnp.float32)
+    w = jnp.zeros((4, 4, 8, 16), jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda t: F.conv_transpose2d(t, w, None, stride=2, padding=1))(x)
+    convs = [e for e in jaxpr.jaxpr.eqns
+             if e.primitive.name == "conv_general_dilated"]
+    assert len(convs) == 1
+    assert convs[0].params["lhs_dilation"] == (2, 2)
+
+
 def test_pixel_shuffle(rng):
     x = rng.standard_normal((2, 5, 6, 36), dtype=np.float32)
     ref = TF.pixel_shuffle(torch.from_numpy(from_nhwc(x)), 3)
