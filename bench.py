@@ -220,6 +220,17 @@ def main():
     def sync(out):
         return float(checksum(out))
 
+    # Drop-proof chained timing (CLAUDE.md methodology): iteration k+1's
+    # input carries a runtime-scalar dependency on iteration k's output,
+    # so no dispatch can be dropped and ONE final fetch syncs the whole
+    # run.  (Fetching a device scalar costs ~30 ms/call on this tunneled
+    # backend even with a persistent checksum executable — a per-
+    # iteration sync taxed the headline step ~1.8%.)  The epsilon is a
+    # runtime value, so XLA cannot fold the add away; in bf16/fp32 it is
+    # below the input's rounding ulp.
+    chain_dep = jax.jit(
+        lambda x, out: x + (out.ravel()[0] * 1e-30).astype(x.dtype))
+
     rng = np.random.default_rng(0)
 
     def tiled(model, params, h, w, **kw):
@@ -235,7 +246,7 @@ def main():
                 return out
 
             jfwd = jax.jit(fwd)
-            return (lambda: jfwd(params, x)), h * w * model.scale ** 2 / 1e6
+            return (lambda t: jfwd(params, t)), x, h * w * model.scale ** 2 / 1e6
         runner = TiledRunner(
             model.apply, model.scale, mode=args.tile_mode, tile=args.tile,
             overlap=args.overlap, tile_batch=args.tile_batch,
@@ -246,14 +257,14 @@ def main():
             trunk_fn=model.apply_trunk, tail_fn=model.apply_tail,
             tail_halo=model.tail_halo, **kw)
         x = jnp.asarray(rng.random((1, h, w, 3), np.float32), dtype)
-        return lambda: runner(params, x), h * w * model.scale ** 2 / 1e6
+        return (lambda t: runner(params, t)), x, h * w * model.scale ** 2 / 1e6
 
     h, w = args.height, args.width
     how = "whole-image" if args.tile_mode == "none" else "tiled"
     if args.model == "esrgan":
         model, params = SP.build("esrgan", scale=args.scale, dtype=dtype,
                                  nb=args.nb, nf=args.nf)
-        step, out_mp = tiled(model, params, h, w)
+        step, x0, out_mp = tiled(model, params, h, w)
         desc = f"{args.scale}x RRDB(nb={args.nb}, nf={args.nf}) {h}x{w} {how}"
     elif args.model == "srresnet":
         model, params = SP.build("srresnet", scale=args.scale, dtype=dtype,
@@ -262,9 +273,10 @@ def main():
         # 16GB HBM (pixelshuffle intermediates at 4320p), so cap at 720p
         hh, ww = min(h, 720), min(w, 1280)
         hh, ww = (hh // 8) * 8, (ww // 8) * 8
-        x = jnp.asarray(rng.random((1, hh, ww, 3), np.float32), dtype)
+        x0 = jnp.asarray(rng.random((1, hh, ww, 3), np.float32), dtype)
         fwd = jax.jit(model.apply)
-        step, out_mp = (lambda: fwd(params, x)), hh * ww * args.scale ** 2 / 1e6
+        step = lambda t: fwd(params, t)
+        out_mp = hh * ww * args.scale ** 2 / 1e6
         desc = f"{args.scale}x SRResNet {hh}x{ww} whole-image"
     elif args.model == "chain":
         # PRODUCT path (VERDICT r2 #2): a real InferenceSession built from
@@ -293,48 +305,56 @@ def main():
         assert sess._fused_runner is not None
         hh, ww = h // 2, w // 2  # keep chain runtime reasonable
         img = (rng.random((hh, ww, 3)) * 255).astype(np.uint8)
-        t_img = np2tensor(img, dtype=dtype)
+        x0 = np2tensor(img, dtype=dtype)
         cf = jax.jit(lambda a, b: color_fix(a * 255.0, b * 255.0))
 
-        def step():
-            return cf(t_img.astype(jnp.float32),
-                      sess._fused_runner(None, t_img).astype(jnp.float32))
+        def step(t):
+            return cf(t.astype(jnp.float32),
+                      sess._fused_runner(None, t).astype(jnp.float32))
 
         out_mp = hh * ww * 16 / 1e6
         desc = f"chain 1x+4x RRDB {hh}x{ww} tiled (product fused path) + color-fix"
     elif args.model == "unet":
         model, params = SP.build("unet", dtype=dtype, num_downs=8, ngf=64)
         batch = 8
-        x = jnp.asarray(rng.random((batch, 256, 256, 3), np.float32) * 2 - 1, dtype)
+        x0 = jnp.asarray(rng.random((batch, 256, 256, 3), np.float32) * 2 - 1, dtype)
         fwd = jax.jit(model.apply)
-        step, out_mp = (lambda: fwd(params, x)), batch * 256 * 256 / 1e6
+        step = lambda t: fwd(params, t)
+        out_mp = batch * 256 * 256 / 1e6
         desc = f"pix2pix UNet-256 batch {batch}"
     elif args.model == "cyclegan":
         model, params = SP.build("cyclegan", dtype=dtype, n_blocks=9, ngf=64)
-        step, out_mp = tiled(model, params, h // 2, w // 2)
+        step, x0, out_mp = tiled(model, params, h // 2, w // 2)
         desc = f"CycleGAN ResNet-9 {h // 2}x{w // 2} {how}"
     elif args.model == "ppon":
         model, params = SP.build("ppon", scale=4, dtype=dtype, nb=24)
-        step, out_mp = tiled(model, params, h // 2, w // 2)
+        step, x0, out_mp = tiled(model, params, h // 2, w // 2)
         desc = f"4x PPON {h // 2}x{w // 2} {how} (perceptual branch)"
     elif args.model == "wbc":
         model, params = SP.build("wbc", dtype=dtype, nf=32)
-        x = jnp.asarray(rng.random((1, (h // 4) * 4, (w // 4) * 4, 3),
-                                   np.float32) * 2 - 1, dtype)
+        x0 = jnp.asarray(rng.random((1, (h // 4) * 4, (w // 4) * 4, 3),
+                                    np.float32) * 2 - 1, dtype)
         fwd = jax.jit(lambda p, t: guided_filter(t, model.apply(p, t), r=1, eps=5e-3))
-        step, out_mp = (lambda: fwd(params, x)), (h // 4) * 4 * (w // 4) * 4 / 1e6
+        step = lambda t: fwd(params, t)
+        out_mp = (h // 4) * 4 * (w // 4) * 4 / 1e6
         desc = f"WBC cartoonization + guided filter {(h // 4) * 4}x{(w // 4) * 4}"
 
     for _ in range(max(args.warmup, 1)):
-        sync(step())
+        sync(step(x0))
+    sync(chain_dep(x0, step(x0)))  # compile the dependency op off the clock
 
     def timed(n):
-        # sync EVERY iteration: on the tunneled platform unsynced dispatches
-        # whose outputs are never fetched can be dropped entirely, which
-        # inflates throughput by exactly the iteration count
+        # chained loop, one fetch: each input depends on the previous
+        # output, so the final sync transitively forces every dispatch
+        # (unfetched INDEPENDENT dispatches can be dropped entirely on
+        # this platform, which would inflate throughput by the iteration
+        # count — see chain_dep above)
         t0 = time.perf_counter()
+        cur, out = x0, None
         for _ in range(n):
-            sync(step())
+            out = step(cur)
+            cur = chain_dep(cur, out)
+        sync(out)
         return time.perf_counter() - t0
 
     if args.profile:
