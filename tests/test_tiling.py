@@ -419,6 +419,26 @@ class TestHybrid:
         plan = r.plan_for(200, 260, run_dtype=jnp.float32)
         assert plan.n_tiles > 1 and plan.pad_h >= 200
 
+    def test_hybrid_lean_tail_grid_default(self):
+        # planner-owned (int-tile) hybrid grids use the minimal exact
+        # overlap (2*tail_halo) and the lean row cover: 1088 trunk rows
+        # -> 2 rows of 548 (processed ratio 1.0745 vs 576/ov16's 1.1294,
+        # measured faster end-to-end, tools/out/hybrid_breakdown.json r4)
+        model, params = self._model()
+        r = TiledRunner(model.apply, 4, mode="hybrid", tile=256,
+                        overlap=16, tile_batch=8,
+                        trunk_fn=model.apply_trunk, tail_fn=model.apply_tail,
+                        tail_halo=model.tail_halo)
+        plan = r.plan_for(1080, 1920, run_dtype=jnp.float32)
+        assert (plan.tile_h, plan.tile_w) == (548, 256)
+        assert plan.starts_h == (0, 540)  # overlap exactly 2*tail_halo=8
+        # the lean grid stays seam-exact vs the whole-image forward
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.random((1, 70, 90, 3), np.float32))
+        whole = np.asarray(model.apply(params, x))
+        out = np.asarray(r(params, x))
+        assert psnr(out, whole) > 45
+
     def test_hybrid_clamps_overlap_to_tail_halo(self):
         # seam-exactness needs overlap >= 2*tail_halo (ADVICE r3): a tiny
         # --overlap must be clamped, not silently produce seam artifacts
