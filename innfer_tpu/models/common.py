@@ -137,11 +137,11 @@ def phase_tail_ok(params: Params, up_key: str, *, factor: int, up_mode: str,
     space (see nn/phase.py): per-block factor 2, a 3x3 last-block conv,
     and parameter-free activations (parameterized acts carry per-channel
     state that the phase-major layout would need to re-plumb).
-    INNFER_PHASE_TAIL=0 forces the materialized path (A/B hook)."""
-    import os
 
-    if os.environ.get("INNFER_PHASE_TAIL", "1") == "0":
-        return False
+    Phase is the only eligible-path policy: exact (maxabs 0.0 vs the
+    materialized tail) and faster on-chip (19.66 vs 19.35 MP/s headline,
+    tools/out/phase_tail_ab.json, 2026-08-19).  Tests force the
+    materialized path by monkeypatching this predicate."""
     if factor != 2 or up_mode not in ("upconv", "pixelshuffle"):
         return False
     if act_type not in _PHASE_SAFE_ACTS or finalact not in _PHASE_SAFE_ACTS:

@@ -178,13 +178,6 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-# When the dispatch-group count is at most this, run a Python-unrolled loop
-# over groups instead of lax.map (a scan).  Off by default pending on-chip
-# A/B (tools/map_unroll_ab.py): suspected lax.map+pallas interaction in the
-# fused-ResnetBlock tiled graphs.
-_UNROLL_GROUPS = 0
-
-
 def tiled_apply(
     apply_fn: Callable,
     params,
@@ -231,11 +224,11 @@ def tiled_apply(
             out = out[output_index]
         return out
 
-    n_groups = groups.shape[0]
-    if n_groups <= _UNROLL_GROUPS:
-        out_tiles = jnp.stack([fwd(groups[g]) for g in range(n_groups)])
-    else:
-        out_tiles = jax.lax.map(fwd, groups)
+    # lax.map over dispatch groups is the one path: a Python-unrolled group
+    # loop measured slower on-chip for both backends (tools/out/
+    # map_unroll_ab.json, 2026-08-19: cg t192 pallas 40.6 vs 45.4 ms,
+    # xla 41.4 vs 43.5), refuting the suspected lax.map+pallas pathology.
+    out_tiles = jax.lax.map(fwd, groups)
     tsh, tsw = plan.tile_h * plan.scale, plan.tile_w * plan.scale
     out_tiles = out_tiles.reshape(n_padded, tsh, tsw, -1)[:n]
     return recompose_tiles(out_tiles, plan)

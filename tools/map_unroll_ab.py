@@ -23,7 +23,6 @@ def main():
     import numpy as np
 
     from innfer_tpu.models import get_network
-    from innfer_tpu.tiling import engine as E
     from innfer_tpu.tiling.engine import TiledRunner
     from tools import synth_params as SP
 
@@ -47,9 +46,18 @@ def main():
     rng = np.random.default_rng(0)
     dtype = jnp.bfloat16
 
+    # The engine's _UNROLL_GROUPS hook was DELETED (2026-08-19) on this
+    # tool's artifact: map won both backends (cg t192 pallas 40.6 vs 45.4,
+    # xla 41.4 vs 43.5 ms).  To re-reproduce, "unroll" mode now swaps
+    # jax.lax.map for a Python-unrolled stack at trace time.
+    real_map = jax.lax.map
+
+    def unrolled_map(f, xs):
+        return jnp.stack([f(xs[i]) for i in range(xs.shape[0])])
+
     def run_config(tag, model, params, scale, x, tile, quantum):
         for mode in ("map", "unroll"):
-            E._UNROLL_GROUPS = 4 if mode == "unroll" else 0
+            jax.lax.map = unrolled_map if mode == "unroll" else real_map
             runner = TiledRunner(model.apply, scale, mode="uniform",
                                  tile=tile, overlap=16, tile_batch=8,
                                  compute_dtype=dtype, tile_quantum=quantum)
@@ -58,6 +66,8 @@ def main():
                 results[f"{tag}_{mode}"] = {"ms": round(dt * 1e3, 1)}
             except Exception as e:  # noqa: BLE001
                 results[f"{tag}_{mode}"] = {"error": str(e)[:150]}
+            finally:
+                jax.lax.map = real_map
             print(tag, mode, results[f"{tag}_{mode}"], flush=True)
 
     cg, cgp = SP.build("cyclegan", dtype=dtype, n_blocks=9, ngf=64)

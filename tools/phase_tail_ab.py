@@ -1,10 +1,12 @@
 """Same-window A/B of the phase-space tail (nn/phase.py) on the real chip.
 
 Times the FULL jitted model forward (fused-Pallas trunk + tail) at the
-headline chunk shape with INNFER_PHASE_TAIL=1 vs =0, plus on-chip parity
-between the two paths.  Env is read at trace time, so both variants can
-be traced in one process (same time window — the only comparison this
-backend allows, see CLAUDE.md).
+headline chunk shape with the phase tail on vs forced-materialized, plus
+on-chip parity between the two paths.  The gate is the trace-time
+predicate models.common.phase_tail_ok (the INNFER_PHASE_TAIL env hook was
+deleted 2026-08-19 after this tool's artifact showed phase exact+faster),
+so both variants can be traced in one process (same time window — the
+only comparison this backend allows, see CLAUDE.md).
 
 Usage:  nohup python tools/phase_tail_ab.py > /tmp/phase_ab.log 2>&1 &
 """
@@ -52,11 +54,14 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((8, 576, 256, 3), np.float32), dtype)
 
-    os.environ["INNFER_PHASE_TAIL"] = "0"
+    from innfer_tpu.models import common as C
+
+    real_ok = C.phase_tail_ok
+    C.phase_tail_ok = lambda *a, **k: False
     fwd_mat = jax.jit(model.apply)
     y_mat = fwd_mat(params, x)
     sync(y_mat)
-    os.environ["INNFER_PHASE_TAIL"] = "1"
+    C.phase_tail_ok = real_ok
     fwd_ph = jax.jit(model.apply)
     y_ph = fwd_ph(params, x)
     sync(y_ph)
