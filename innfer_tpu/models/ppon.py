@@ -26,52 +26,7 @@ from innfer_tpu.models.base import ModelDef
 from innfer_tpu.nn import functional as F
 
 
-def _rb32_pallas_ok(x) -> bool:
-    """Shape/platform gate for the fused ResBlock kernel: TPU backend and
-    tile dims with a 16-multiple kernel-block divisor (mirrors rrdb's
-    _pallas_ok so backend='pallas' fails loudly, never inside Mosaic)."""
-    if jax.default_backend() not in ("tpu", "axon"):
-        return False
-    from innfer_tpu.ops.pallas.rdb import _pick_block
-
-    try:
-        # blocks must also be 16-multiples so the halo canvas width
-        # (bw + 2*9 + 14) lands on a 16-row tile boundary
-        ok = (_pick_block(int(x.shape[1]), 64) % 16 == 0
-              and _pick_block(int(x.shape[2]), 128) % 16 == 0)
-    except ValueError:
-        return False
-    return ok and x.ndim == 4
-
-
-def _res_block_32(params, x, prefix: str, backend: str = "auto"):
-    if backend == "pallas":
-        # Fused whole-block kernel (ops/pallas/contrib/resblock32).  EXPERIMENTAL
-        # opt-in: numerically exact, but the remote Mosaic compiler
-        # currently rejects real PPON widths (nf=64) — see the kernel's
-        # STATUS header.  At reduced widths it measured only +11% over XLA
-        # (32-channel outputs pad 4x on the 128-lane MXU in-kernel too).
-        if not _rb32_pallas_ok(x):
-            raise ValueError(
-                "ppon backend='pallas' requires the TPU backend and tile "
-                "dims with a 16-multiple kernel-block divisor (64-multiples "
-                f"recommended; ModelDef.tile_quantum asks the planner); got "
-                f"shape {x.shape} on {jax.default_backend()}")
-        from innfer_tpu.ops.pallas.contrib.resblock32 import fused_resblock32
-
-        zeros = lambda c: jnp.zeros((c,), jnp.float32)
-        g = lambda n: params[f"{prefix}.{n}.weight"]
-
-        def gb(n):
-            b = params.get(f"{prefix}.{n}.bias")
-            return b if b is not None else zeros(g(n).shape[-1])
-
-        return fused_resblock32(
-            x, g("c1"), gb("c1"),
-            [g(f"d{r}") for r in range(1, 9)],
-            [gb(f"d{r}") for r in range(1, 9)],
-            g("c2"), gb("c2"), block=(64, 128),
-        )
+def _res_block_32(params, x, prefix: str):
     lr = lambda t: F.leaky_relu(t, 0.2)
     conv = lambda name, t, pad, dil: F.conv2d(
         t, params[f"{prefix}.{name}.weight"], params.get(f"{prefix}.{name}.bias"),
@@ -89,10 +44,10 @@ def _res_block_32(params, x, prefix: str, backend: str = "auto"):
     return x + out2 * jnp.asarray(0.2, x.dtype)
 
 
-def _rr_block(params, x, prefix: str, backend: str = "auto"):
+def _rr_block(params, x, prefix: str):
     out = x
     for name in ("RB1", "RB2", "RB3"):
-        out = _res_block_32(params, out, f"{prefix}.{name}", backend=backend)
+        out = _res_block_32(params, out, f"{prefix}.{name}")
     return out * jnp.asarray(0.2, x.dtype) + x
 
 
@@ -101,7 +56,14 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
     upscale = int(cfg.get("upscale", 4))
     act_type = cfg.get("act_type", "lrelu")
     alpha = float(cfg.get("alpha", 1.0))
-    backend = cfg.get("backend", "auto")
+    if cfg.get("backend", "auto") == "pallas":
+        # The fused _ResBlock_32 kernel was retired (round 4): the remote
+        # Mosaic compiler rejects real PPON widths (nf=64) and reduced
+        # widths won only +11% — 32-channel conv outputs pad 4x on the
+        # 128-lane MXU in-kernel too.  See ops/pallas/ARCHIVE.md.
+        raise NotImplementedError(
+            "ppon backend='pallas' was retired; XLA is the one PPON path "
+            "(ops/pallas/ARCHIVE.md records the fused-kernel experiment)")
 
     n_up, factor = C.n_upscale_blocks(upscale)
     # recon modules: [n_up x (Upsample, conv, act)] + HR0 conv + act + HR1 conv
@@ -121,7 +83,7 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         fea = C.conv3x3(params, x, "CFEM.0")
         t = fea
         for i in range(nb):
-            t = _rr_block(params, t, f"CFEM.1.sub.{i}", backend=backend)
+            t = _rr_block(params, t, f"CFEM.1.sub.{i}")
         t = C.conv3x3(params, t, f"CFEM.1.sub.{nb}")
         out_cfem = fea + t
 
@@ -129,21 +91,16 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
 
         out_sfem = out_cfem
         for i in range(2):
-            out_sfem = _rr_block(params, out_sfem, f"SFEM.{i}", backend=backend)
+            out_sfem = _rr_block(params, out_sfem, f"SFEM.{i}")
         out_s = recon(params, out_sfem, "SRM") + out_c
 
         out_pfem = out_sfem
         for i in range(2):
-            out_pfem = _rr_block(params, out_pfem, f"PFEM.{i}", backend=backend)
+            out_pfem = _rr_block(params, out_pfem, f"PFEM.{i}")
         out_p = jnp.asarray(alpha, x.dtype) * recon(params, out_pfem, "PRM") + out_s
 
         return out_c, out_s, out_p
 
     return ModelDef(
         name="ppon", cfg=dict(cfg), apply=apply, scale=upscale, output_index=2,
-        # fused-kernel opt-in needs planner cooperation (64-multiple dims);
-        # strict: an explicit opt-in must never get cost-guard fine tiles
-        # the kernel gate would then reject
-        tile_quantum=64 if backend == "pallas" else 1,
-        tile_quantum_strict=backend == "pallas",
     )

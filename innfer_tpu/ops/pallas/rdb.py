@@ -155,8 +155,7 @@ def _tile_valid_mask(by, bx, *, bh, bw, wp, pp, t_h, t_w, halo,
     tile: everything else must read as zero for the next conv (the
     reference zero-pads every conv at the tile extent).  ``col_off`` is
     the padded-layout column where tile content starts (HALO in standard
-    mode — the default, also used by contrib kernels sharing this helper —
-    or COL_MARGIN in chain mode)."""
+    mode — the default — or COL_MARGIN in chain mode)."""
     if col_off is None:
         col_off = halo
     rowid = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0) // wp

@@ -94,31 +94,6 @@ def test_fused_rdb_bf16_close(rng):
     assert err < 0.05, err  # bf16 resolution over a 5-conv chain
 
 
-@pytest.mark.parametrize("nf,gc,t,block,band", [
-    (64, 32, 32, (16, 16), 8),
-    (64, 32, 64, (32, 32), 16),
-])
-def test_banded_matches_xla(rng, nf, gc, t, block, band):
-    from innfer_tpu.ops.pallas.contrib.rdb_banded import fused_rdb_banded
-
-    ws, bs = _make_rdb(rng, nf, gc)
-    x = jnp.asarray(rng.standard_normal((2, t, t, nf)).astype(np.float32))
-    ref = _xla_rdb(x, ws, bs)
-    out = fused_rdb_banded(x, ws, bs, gc=gc, block=block, band=band,
-                           interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6, rtol=3e-6)
-
-
-def test_banded_rejects_indivisible(rng):
-    from innfer_tpu.ops.pallas.contrib.rdb_banded import fused_rdb_banded
-
-    ws, bs = _make_rdb(rng, 64, 32)
-    # 250 > the largest block and not divisible by any block divisor
-    x = jnp.zeros((1, 250, 250, 64), jnp.float32)
-    with pytest.raises(ValueError):
-        fused_rdb_banded(x, ws, bs, interpret=True)
-
-
 def test_pallas_backend_gate(rng):
     """backend='pallas' must reject unsupported configs loudly."""
     from innfer_tpu.models.rrdb import _rrdb
