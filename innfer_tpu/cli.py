@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "matches the original chop grid, 'none' forces whole-image "
                    "forwards.")
     p.add_argument("--tile-batch", type=int, default=8, help="Tiles per compiled step.")
+    p.add_argument("--batch", type=int, default=1,
+                   help="Group N same-shape images into one stacked "
+                   "whole-image forward (exact per-image parity; fills the "
+                   "MXU for small fixed-size inputs like pix2pix 256/512). "
+                   "Groups that would overflow HBM fall back per-image.")
     p.add_argument("--bucket", type=int, default=0, help="Pad compile shapes to multiples.")
     p.add_argument("--no-fused-chain", action="store_true",
                    help="Run model chains stage-by-stage (materializing "
@@ -154,6 +159,7 @@ def main(argv=None) -> int:
             args.input, args.output, use_color_fix=args.cf, comp=args.comp,
             shard_index=shard_index, num_shards=num_shards,
             metrics_dir=args.metrics or None, timers=timers,
+            batch=args.batch,
         )
     if timers is not None:
         timers.log_report()

@@ -333,14 +333,19 @@ def batch_norm(
     training: bool = False,
     eps: float = 1e-5,
 ) -> Array:
-    """BatchNorm2d.  ``training=True`` uses batch statistics over (N,H,W)
-    with biased variance — the pix2pix ``meval=False`` path (reference
-    run.py:299-303); ``training=False`` uses the stored running stats.
+    """BatchNorm2d.  ``training=True`` uses PER-IMAGE batch statistics over
+    (H,W) with biased variance — the pix2pix ``meval=False`` path
+    (reference run.py:299-303).  The reference always forwards a batch of
+    one, where (N,H,W) and per-image statistics coincide; reducing per
+    image keeps every batched forward (``--batch N``) bitwise-equivalent
+    to N reference-semantics forwards instead of silently pooling
+    statistics across unrelated images.  ``training=False`` uses the
+    stored running stats.
     """
     x32 = x.astype(jnp.float32)
     if training or running_mean is None:
-        mean = jnp.mean(x32, axis=(0, 1, 2))
-        var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2))
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
     else:
         mean = running_mean.astype(jnp.float32)
         var = running_var.astype(jnp.float32)

@@ -165,9 +165,14 @@ def parse_models(models_arg: str, scales: Optional[List[Optional[int]]] = None,
 # ---------------------------------------------------------------------------
 
 def np2tensor(img: np.ndarray, *, normalize: bool = False, dtype=jnp.float32) -> jax.Array:
-    """HWC BGR uint8/uint16 numpy -> (1, H, W, C) RGB float device array."""
+    """HWC BGR uint8/uint16 numpy -> (1, H, W, C) RGB float device array.
+
+    A 4-D (N, H, W, C) input is treated as an already-stacked batch of
+    same-shape images (batched directory mode) and converted as one array.
+    """
     if not isinstance(img, np.ndarray):
         raise TypeError("Got unexpected object type, expected np.ndarray")
+    batched = img.ndim == 4
     if img.ndim == 2:
         img = img[:, :, None]
     maxval = iio.MAX_VALUES_BY_DTYPE.get(img.dtype, 1.0)
@@ -179,12 +184,16 @@ def np2tensor(img: np.ndarray, *, normalize: bool = False, dtype=jnp.float32) ->
         x = colors.bgra_to_rgba(x)
     if normalize:
         x = colors.norm(x)
-    return x[None].astype(dtype)
+    return (x if batched else x[None]).astype(dtype)
 
 
-def tensor2np(x: jax.Array, *, denormalize: bool = False) -> np.ndarray:
-    """(1, H, W, C) RGB float -> HWC BGR uint8 numpy (utils.py:197-248)."""
-    x = x[0].astype(jnp.float32)
+def tensor2np(x: jax.Array, *, denormalize: bool = False,
+              batched: bool = False) -> np.ndarray:
+    """(1, H, W, C) RGB float -> HWC BGR uint8 numpy (utils.py:197-248).
+
+    ``batched=True`` keeps the leading batch axis: (N,H,W,C) -> (N,H,W,C).
+    """
+    x = x.astype(jnp.float32) if batched else x[0].astype(jnp.float32)
     c = x.shape[-1]
     if c == 3:
         x = colors.rgb_to_bgr(x)
@@ -205,8 +214,9 @@ def tensor2np(x: jax.Array, *, denormalize: bool = False) -> np.ndarray:
 _WHOLE_IMAGE_HBM_BUDGET = 8 * 1024 ** 3
 
 
-def _whole_forward_bytes(model: ModelDef, x: jax.Array) -> int:
-    """Per-architecture peak-activation estimate for an untiled forward.
+def _whole_forward_bytes(model: ModelDef, x_shape: Sequence[int]) -> int:
+    """Per-architecture peak-activation estimate for an untiled forward
+    of an (N, H, W, C) input shape.
 
     SR families are dominated by the upsample tail (a few nf-wide fp32
     maps at output resolution, e.g. SRResNet pixelshuffle at 4320p;
@@ -215,7 +225,7 @@ def _whole_forward_bytes(model: ModelDef, x: jax.Array) -> int:
     ngf*8 bottleneck sits at 1/64 spatial so the outermost skip concat
     (2*ngf at full res) dominates instead; CycleGAN holds ngf maps at
     full res plus reflect-pad copies."""
-    px = x.shape[0] * x.shape[1] * x.shape[2]
+    px = x_shape[0] * x_shape[1] * x_shape[2]
     cfg = model.cfg
     kind = str(cfg.get("type", ""))
     nf = int(cfg.get("nf", cfg.get("ngf", 64)))
@@ -246,11 +256,14 @@ class Stage:
     _whole_jit: Any = None
     _fallback: Optional[TiledRunner] = None
 
-    def __call__(self, x: jax.Array) -> jax.Array:
-        if self.chop and self.runner is not None:
+    def __call__(self, x: jax.Array, *, force_whole: bool = False) -> jax.Array:
+        """``force_whole=True`` bypasses the tiled runner (batched directory
+        mode runs stacked same-shape images whole-image; the caller is
+        responsible for the HBM budget precheck — see run_batch)."""
+        if self.chop and self.runner is not None and not force_whole:
             return self.runner(self.params, x)
-        if (jax.default_backend() != "cpu"
-                and _whole_forward_bytes(self.model, x) > _WHOLE_IMAGE_HBM_BUDGET):
+        if (not force_whole and jax.default_backend() != "cpu"
+                and _whole_forward_bytes(self.model, x.shape) > _WHOLE_IMAGE_HBM_BUDGET):
             # whole-image activations would overflow HBM: fall back to the
             # auto-tiled engine instead of crashing the device.  Stages
             # whose numerics DEPEND on whole-image extent (train-mode batch
@@ -260,7 +273,7 @@ class Stage:
             if not self.model.cfg.get("meval", True) and has_stat_norm:
                 raise ValueError(
                     f"whole-image forward of {x.shape[1]}x{x.shape[2]} would "
-                    f"need ~{_whole_forward_bytes(self.model, x) / 1024**3:.1f}"
+                    f"need ~{_whole_forward_bytes(self.model, x.shape) / 1024**3:.1f}"
                     " GB HBM, and this stage runs train-mode normalization "
                     "whose statistics are whole-image-dependent — tiled "
                     "execution would change the output.  Resize the input "
@@ -273,7 +286,7 @@ class Stage:
                     "whole-image forward of %dx%d would need ~%.1f GB HBM; "
                     "falling back to tiled execution",
                     x.shape[1], x.shape[2],
-                    _whole_forward_bytes(self.model, x) / 1024 ** 3)
+                    _whole_forward_bytes(self.model, x.shape) / 1024 ** 3)
                 self._fallback = TiledRunner(
                     self.model.apply, self.model.scale, mode="auto",
                     output_index=self.model.output_index,
@@ -496,6 +509,59 @@ class InferenceSession:
                     t_out = guided_filter(t_img, t_out, r=1, eps=5e-3)
         return tensor2np(t_out, denormalize=self.presets.normalize)
 
+    def batchable(self, shape: Sequence[int], n: int) -> bool:
+        """Whether ``n`` stacked images of prepared HWC ``shape`` can run
+        as one whole-image batched forward within the HBM budget.
+
+        Batched mode runs every stage whole-image (stacked small inputs
+        are exactly the regime where tiling's dispatch floor dominates);
+        chop exists for memory, so the budget check — at every chained
+        stage's intermediate resolution — is the real gate.  On CPU the
+        budget is waived like Stage.__call__ does.
+        """
+        if n <= 1:
+            return False
+        h, w = int(shape[0]), int(shape[1])
+        c = int(shape[2]) if len(shape) > 2 else 1
+        if jax.default_backend() == "cpu":
+            return True
+        for st in self.stages:
+            if _whole_forward_bytes(st.model, (n, h, w, c)) > _WHOLE_IMAGE_HBM_BUDGET:
+                return False
+            h, w = h * st.model.scale, w * st.model.scale
+            c = int(st.model.cfg.get("out_nc", 3))
+        return True
+
+    def run_batch(self, imgs: List[np.ndarray], *,
+                  already_prepared: bool = False) -> List[np.ndarray]:
+        """Run N same-shape images as ONE stacked whole-image forward.
+
+        TPU-native addition (no reference analogue — the reference loop is
+        strictly serial, run.py:404-442): small fixed-size inputs (pix2pix
+        256/512, cyclegan slabs, wbc) are dispatch-floor-bound at batch 1,
+        so stacking fills the MXU and amortizes per-op overhead.  Exact
+        per-image parity by construction: convs/instance-norm are
+        batch-independent and train-mode batch norm reduces per image
+        (nn/functional.batch_norm).  Falls back to the per-image path when
+        shapes differ or the batched activations would overflow HBM.
+        """
+        if not already_prepared:
+            imgs = [self.prepare(im) for im in imgs]
+        imgs = [im[:, :, None] if im.ndim == 2 else im for im in imgs]
+        same = all(im.shape == imgs[0].shape and im.dtype == imgs[0].dtype
+                   for im in imgs)
+        if not same or not self.batchable(imgs[0].shape, len(imgs)):
+            return [self.run_image(im, already_prepared=True) for im in imgs]
+        t_img = np2tensor(np.stack(imgs), normalize=self.presets.normalize,
+                          dtype=self.compute_dtype)
+        t_out = t_img
+        for stage in self.stages:
+            t_out = stage(t_out, force_whole=True)
+            if self.presets.use_guided_filter:
+                t_out = guided_filter(t_img, t_out, r=1, eps=5e-3)
+        out = tensor2np(t_out, denormalize=self.presets.normalize, batched=True)
+        return [out[i] for i in range(out.shape[0])]
+
     def process(
         self,
         input_dir: str,
@@ -508,6 +574,7 @@ class InferenceSession:
         num_shards: int = 1,
         metrics_dir: Optional[str] = None,
         timers=None,
+        batch: int = 1,
     ) -> List[str]:
         """Process a directory of images; returns written paths.
 
@@ -516,6 +583,10 @@ class InferenceSession:
         ``num_shards``/``shard_index`` stripe the work list for multi-host
         image-level data parallelism (parallel/multihost.py);
         ``metrics_dir`` computes PSNR/SSIM vs same-named ground-truth files.
+        ``batch > 1`` groups same-shape prepared images and runs each full
+        group as ONE stacked whole-image forward (run_batch); partial
+        groups at end-of-directory are padded to ``batch`` so every
+        forward reuses one compiled shape per distinct image shape.
         """
         from innfer_tpu.parallel.multihost import shard_paths
         from innfer_tpu.runtime.native import PrefetchLoader
@@ -526,17 +597,10 @@ class InferenceSession:
             paths, fallback=lambda p: iio.read_img(p, use_native=False),
         )
         metric_rows = []
-        for _idx, image_path, img in loader:
-            name = osp.splitext(osp.basename(image_path))[0]
-            if img is None:
-                print(f"Error reading image {image_path}, skipping.")
-                continue
-            ctx = timers.stage("image") if timers else _nullctx()
-            with ctx:
-                img_in = self.prepare(img)
-                out = self.run_image(img_in, already_prepared=True)
-                if use_color_fix:
-                    out = np.asarray(color_fix(jnp.asarray(img_in), jnp.asarray(out)))
+
+        def finish(name, image_path, img_in, out):
+            if use_color_fix:
+                out = np.asarray(color_fix(jnp.asarray(img_in), jnp.asarray(out)))
             dst = osp.join(output_dir, f"{name}.png")
             if comp:
                 iio.save_img_comp([img_in, out], dst)
@@ -560,6 +624,39 @@ class InferenceSession:
                         print(f"  metrics {name}: PSNR {row['psnr']} dB, SSIM {row['ssim']}")
             if verbose:
                 print(f"{image_path} -> {dst} {out.shape[1]}x{out.shape[0]}")
+
+        def flush(group):
+            names, srcs, imgs = zip(*group)
+            n_real = len(imgs)
+            padded = list(imgs) + [imgs[-1]] * (batch - n_real)
+            ctx = timers.stage("image") if timers else _nullctx()
+            with ctx:
+                outs = self.run_batch(padded, already_prepared=True)
+            for name, src, img_in, out in zip(names, srcs, imgs, outs[:n_real]):
+                finish(name, src, img_in, out)
+
+        pending = {}
+        for _idx, image_path, img in loader:
+            name = osp.splitext(osp.basename(image_path))[0]
+            if img is None:
+                print(f"Error reading image {image_path}, skipping.")
+                continue
+            img_in = self.prepare(img)
+            if batch > 1:
+                key = (img_in.shape, str(img_in.dtype))
+                group = pending.setdefault(key, [])
+                group.append((name, image_path, img_in))
+                if len(group) == batch:
+                    flush(group)
+                    pending[key] = []
+                continue
+            ctx = timers.stage("image") if timers else _nullctx()
+            with ctx:
+                out = self.run_image(img_in, already_prepared=True)
+            finish(name, image_path, img_in, out)
+        for group in pending.values():
+            if group:
+                flush(group)
         loader.close()
         if metric_rows and verbose:
             mean_p = sum(r["psnr"] for r in metric_rows) / len(metric_rows)

@@ -144,12 +144,18 @@ def test_batch_norm_train_and_eval(rng):
     out = F.batch_norm(jnp.asarray(x), jnp.asarray(wt), jnp.asarray(bs),
                        jnp.asarray(rm), jnp.asarray(rv), training=False)
     assert_close(out, ref, atol=1e-4, rtol=1e-4)
-    # train mode (pix2pix meval=False path) — batch statistics
-    ref = TF.batch_norm(xt, torch.from_numpy(rm.copy()), torch.from_numpy(rv.copy()),
-                        torch.from_numpy(wt), torch.from_numpy(bs), training=True)
+    # train mode (pix2pix meval=False path): PER-IMAGE statistics.  The
+    # reference only ever forwards batch 1 (run.py:404-442), where torch's
+    # (N,H,W) reduction IS per-image; we keep that per-image reduction at
+    # any N so batched directory mode stays reference-equivalent instead
+    # of pooling statistics across unrelated images.
     out = F.batch_norm(jnp.asarray(x), jnp.asarray(wt), jnp.asarray(bs),
                        jnp.asarray(rm), jnp.asarray(rv), training=True)
-    assert_close(out, ref, atol=1e-4, rtol=1e-4)
+    for i in range(x.shape[0]):
+        ref_i = TF.batch_norm(
+            xt[i:i + 1], torch.from_numpy(rm.copy()), torch.from_numpy(rv.copy()),
+            torch.from_numpy(wt), torch.from_numpy(bs), training=True)
+        assert_close(out[i:i + 1], ref_i, atol=1e-4, rtol=1e-4)
 
 
 def test_dense_as_conv1d(rng):

@@ -346,10 +346,9 @@ class TestWholeForwardEstimate:
         from tools import synth_params as SP
 
         model, _ = SP.build("esrgan", scale=4, nb=1, nf=64, gc=32)
-        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
         px = 64 * 64
         # HR tail plus the nf+4*gc live dense-concat width at LR
-        assert _whole_forward_bytes(model, x) == (
+        assert _whole_forward_bytes(model, (1, 64, 64, 3)) == (
             px * (64 + 4 * 32) * 4 * 2 + px * 16 * 64 * 4 * 3)
 
 
@@ -469,3 +468,119 @@ class TestPPONTiled:
         written = sess.process(str(inp), str(out), verbose=False)
         im = cv2.imread(written[0])
         assert im.shape == (96, 96, 3)
+
+
+class TestBatchedMode:
+    """Batched directory mode: N same-shape images stacked into ONE
+    whole-image forward (run_batch / process(batch=N)).  No reference
+    analogue (the reference loop is serial, run.py:404-442); parity
+    contract is exact per-image equivalence."""
+
+    def _imgs(self, shapes, seeds=None):
+        rng_seeds = seeds or range(len(shapes))
+        return [
+            np.random.default_rng(s).integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for s, (h, w) in zip(rng_seeds, shapes)
+        ]
+
+    def test_unet_batch_matches_per_image(self):
+        """pix2pix UNet runs train-mode batch norm: per-image statistics
+        must make the batched forward equal each solo forward."""
+        sess = InferenceSession(
+            osp.join(GOLDENS, "unet128.pth"), arch="unet_128",
+            presets=select_presets("unet_128"), compute_dtype=jnp.float32,
+        )
+        imgs = self._imgs([(40, 56), (33, 20)])  # both resize to 128x128
+        batched = sess.run_batch(imgs)
+        solo = [sess.run_image(im) for im in imgs]
+        for b, s in zip(batched, solo):
+            assert b.shape == s.shape
+            assert np.abs(b.astype(int) - s.astype(int)).max() <= 1
+
+    def test_esrgan_batch_matches_per_image(self):
+        p = select_presets("infer")
+        p.chop = False  # whole-image both ways: outputs must match
+        sess = InferenceSession(
+            osp.join(GOLDENS, "esrgan_x2.pth"), presets=p,
+            compute_dtype=jnp.float32,
+        )
+        imgs = self._imgs([(24, 20), (24, 20)], seeds=[3, 4])
+        batched = sess.run_batch(imgs)
+        solo = [sess.run_image(im) for im in imgs]
+        for b, s in zip(batched, solo):
+            assert b.shape == (48, 40, 3)
+            assert np.abs(b.astype(int) - s.astype(int)).max() <= 1
+
+    def test_wbc_batch_guided_filter(self):
+        sess = InferenceSession(
+            osp.join(GOLDENS, "wbc_pt.pth"),
+            presets=select_presets("infer", models_arg="wbc_pt.pth"),
+            compute_dtype=jnp.float32,
+        )
+        imgs = self._imgs([(36, 36), (36, 36)], seeds=[5, 6])
+        batched = sess.run_batch(imgs)
+        solo = [sess.run_image(im) for im in imgs]
+        for b, s in zip(batched, solo):
+            assert b.shape == s.shape == (36, 36, 3)
+            assert np.abs(b.astype(int) - s.astype(int)).max() <= 1
+
+    def test_mixed_shapes_fall_back_per_image(self):
+        sess = InferenceSession(
+            osp.join(GOLDENS, "esrgan_x2.pth"), compute_dtype=jnp.float32,
+            tile=16, overlap=8,
+        )
+        imgs = self._imgs([(24, 20), (16, 16)])
+        outs = sess.run_batch(imgs)
+        assert outs[0].shape == (48, 40, 3) and outs[1].shape == (32, 32, 3)
+
+    def test_hbm_budget_gates_batchable(self, monkeypatch):
+        import innfer_tpu.pipeline as P
+
+        sess = InferenceSession(
+            osp.join(GOLDENS, "esrgan_x2.pth"), compute_dtype=jnp.float32,
+            tile=16, overlap=8,
+        )
+        monkeypatch.setattr(P.jax, "default_backend", lambda: "tpu")
+        assert sess.batchable((24, 20, 3), 4)
+        monkeypatch.setattr(P, "_WHOLE_IMAGE_HBM_BUDGET", 1024)
+        assert not sess.batchable((24, 20, 3), 4)
+        assert not sess.batchable((24, 20, 3), 1)  # n<=1 is never batched
+
+    def test_process_batched_directory_with_padded_flush(self, tmp_path):
+        """3 images in 2 shape buckets, batch=2: one full group + two
+        padded flushes; every output written and identical to batch=1."""
+        inp, out1, out2 = tmp_path / "in", tmp_path / "o1", tmp_path / "o2"
+        inp.mkdir()
+        _write_png(inp / "a.png", 24, 20, seed=0)
+        _write_png(inp / "b.png", 24, 20, seed=1)
+        _write_png(inp / "c.png", 16, 16, seed=2)
+        p = select_presets("infer")
+        p.chop = False
+        sess = InferenceSession(
+            osp.join(GOLDENS, "esrgan_x2.pth"), presets=p,
+            compute_dtype=jnp.float32,
+        )
+        w1 = sess.process(str(inp), str(out1), verbose=False, batch=2)
+        w2 = sess.process(str(inp), str(out2), verbose=False, batch=1)
+        assert len(w1) == len(w2) == 3
+        for n in ("a", "b", "c"):
+            im1 = cv2.imread(str(out1 / f"{n}.png"))
+            im2 = cv2.imread(str(out2 / f"{n}.png"))
+            assert im1 is not None and im2 is not None
+            assert np.abs(im1.astype(int) - im2.astype(int)).max() <= 1
+
+    def test_cli_batch_flag(self, tmp_path):
+        from innfer_tpu.cli import main
+
+        inp, out = tmp_path / "in", tmp_path / "out"
+        inp.mkdir()
+        _write_png(inp / "x.png", 20, 28)
+        _write_png(inp / "y.png", 20, 28, seed=9)
+        rc = main([
+            "-m", osp.join(GOLDENS, "esrgan_x2.pth"),
+            "-i", str(inp), "-o", str(out),
+            "--tile-mode", "none", "--batch", "2", "-no_fp16", "-cpu",
+        ])
+        assert rc == 0
+        assert cv2.imread(str(out / "x.png")).shape == (40, 56, 3)
+        assert cv2.imread(str(out / "y.png")).shape == (40, 56, 3)
