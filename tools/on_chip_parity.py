@@ -235,8 +235,10 @@ def main():
     checks = {}
     for key, thr in THRESHOLDS.items():
         got = results.get(key)
-        checks[key] = {"threshold_db": thr, "measured_db": got,
-                       "pass": got is not None and got >= thr}
+        # bool(): np.float64 >= float yields np.bool_, which json rejects
+        checks[key] = {"threshold_db": thr,
+                       "measured_db": None if got is None else float(got),
+                       "pass": bool(got is not None and got >= thr)}
     results["explanations"] = EXPLANATIONS
     results["checks"] = checks
     results["pass"] = all(c["pass"] for c in checks.values())
