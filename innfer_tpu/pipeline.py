@@ -344,6 +344,21 @@ class InferenceSession:
             tile_batch = -(-tile_batch // n_data) * n_data
         self.stages: List[Stage] = []
         for path, sc in zip(paths, scales):
+            from innfer_tpu.compat.torchscript import (TorchScriptStage,
+                                                       is_torchscript)
+
+            if self.presets.arch == "ts" or is_torchscript(path):
+                # reference `-a ts` path (run.py:40-42): torch bytecode has
+                # nothing to compile for TPU, so the forward runs on host
+                # torch-CPU; tiling/recompose/chain/pre/post stay TPU-side
+                if spatial:
+                    raise NotImplementedError(
+                        "--spatial cannot shard a host-executed TorchScript "
+                        "module; remove --spatial")
+                self.stages.append(TorchScriptStage(
+                    path, scale=sc, chop=self.presets.chop, tile=tile,
+                    overlap=overlap, tile_batch=tile_batch))
+                continue
             model, params = load_model(
                 path, arch=self.presets.arch, scale=sc,
                 strict=self.presets.strict, param_dtype=compute_dtype,
@@ -416,18 +431,26 @@ class InferenceSession:
         # full output instead).  Per-stage guided filtering (wbc) and
         # spatial mode keep the sequential path.
         self._fused_runner = None
+        has_ts = any(st.model.apply is None for st in self.stages)
         if fused_chain is None:
             fused_chain = (
                 len(self.stages) > 1
                 and self.presets.chop
                 and not self.presets.use_guided_filter
                 and not spatial
+                and not has_ts
             )
         if fused_chain and len(self.stages) > 1:
             if self.presets.use_guided_filter:
                 raise ValueError(
                     "fused_chain cannot apply the per-stage guided filter "
                     "(wbc preset); use fused_chain=False")
+            if has_ts:
+                raise ValueError(
+                    "fused_chain cannot run host-executed TorchScript "
+                    "stages inside the jitted tile pass; use "
+                    "fused_chain=False (chains with a ts stage default "
+                    "to the sequential path)")
             # cap the input tile so the final-scale tile stays bounded: a
             # 4x+4x chain at tile 256 would make 4096^2-pixel SR tiles
             fused_tile = min(tile, max(64, 1024 // max(self.total_scale, 1)))
