@@ -338,6 +338,7 @@ class InferenceSession:
         paths, scales = parse_models(models_arg,
                                      [scale] * n_chain if scale else None,
                                      models_dir)
+        self._mesh = mesh
         if mesh is not None:
             # dp requires whole chunks per device; round the tile batch up
             n_data = mesh.shape.get("data", 1)
@@ -577,6 +578,16 @@ class InferenceSession:
             return [self.run_image(im, already_prepared=True) for im in imgs]
         t_img = np2tensor(np.stack(imgs), normalize=self.presets.normalize,
                           dtype=self.compute_dtype)
+        if (self._mesh is not None
+                and self._mesh.shape.get("model", 1) == 1
+                and t_img.shape[0] % self._mesh.shape.get("data", 1) == 0):
+            # image-level dp: shard the stacked batch over the data axis —
+            # images are embarrassingly parallel, XLA propagates the
+            # sharding through every stage (params are replicated)
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            t_img = jax.device_put(t_img, NamedSharding(self._mesh, P("data")))
         t_out = t_img
         for stage in self.stages:
             t_out = stage(t_out, force_whole=True)

@@ -584,3 +584,22 @@ class TestBatchedMode:
         assert rc == 0
         assert cv2.imread(str(out / "x.png")).shape == (40, 56, 3)
         assert cv2.imread(str(out / "y.png")).shape == (40, 56, 3)
+
+    def test_batch_dp_mesh_matches_single(self):
+        """run_batch with a dp mesh shards the image batch over 'data';
+        outputs must equal the unmeshed batched run."""
+        from innfer_tpu.parallel.mesh import make_mesh
+
+        def mk(mesh):
+            p = select_presets("infer")
+            p.chop = False
+            return InferenceSession(
+                osp.join(GOLDENS, "esrgan_x2.pth"), presets=p,
+                compute_dtype=jnp.float32, mesh=mesh)
+
+        imgs = self._imgs([(16, 16)] * 8, seeds=range(8))
+        outs_m = mk(make_mesh(n_data=8)).run_batch(imgs)
+        outs_s = mk(None).run_batch(imgs)
+        for a, b in zip(outs_m, outs_s):
+            assert a.shape == (32, 32, 3)
+            assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
