@@ -29,6 +29,34 @@ Params = Dict[str, jax.Array]
 StateDict = Dict[str, np.ndarray]
 
 
+class ParamDict(dict):
+    """Parameter dict whose missing-key error explains the likely cause.
+
+    A bare KeyError('model.0.weight') at trace time is what a user sees
+    when an EXPLICIT arch config does not match the checkpoint (e.g.
+    `-a ppon` falls back to library defaults nb=24 against an nb=2 file —
+    same behavior as the reference, run.py:157-163, which crashes in
+    load_state_dict instead).  Point at the fix."""
+
+    def __missing__(self, key):
+        raise KeyError(
+            f"parameter '{key}' is not in the checkpoint ({len(self)} keys"
+            " loaded).  The network config does not match the checkpoint —"
+            " an explicit -a/--arch uses library-default hyperparameters"
+            " (nb/nf/...); try arch auto-detection (-a infer, the default)"
+            " or pass the exact config.")
+
+
+# Registered like a plain dict (sorted-key flattening, jax's own dict
+# convention) so ParamDict passes through jit/device_put as a pytree
+# instead of an opaque leaf.
+jax.tree_util.register_pytree_node(
+    ParamDict,
+    lambda d: (tuple(d[k] for k in sorted(d)), tuple(sorted(d))),
+    lambda keys, vals: ParamDict(zip(keys, vals)),
+)
+
+
 @dataclass
 class ModelDef:
     """A compiled-architecture description: pure apply + conversion metadata."""
@@ -83,7 +111,7 @@ def convert_state(
     """
     if model.remap is not None:
         state = model.remap(state)
-    params: Params = {}
+    params: Params = ParamDict()
     for key, val in state.items():
         arr = np.asarray(val)
         if arr.ndim == 4:

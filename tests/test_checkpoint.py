@@ -222,3 +222,24 @@ def test_torchscript_rejected(tmp_path):
     torch.jit.script(M()).save(p)
     with pytest.raises(ValueError, match="TorchScript"):
         load_checkpoint(p)
+
+
+def test_arch_config_mismatch_error_is_actionable(tmp_path):
+    """An explicit arch whose library-default hyperparameters don't match
+    the checkpoint must fail pointing at -a infer, not with a bare
+    KeyError (reference crashes inside load_state_dict, run.py:157-163)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    import os.path as osp
+
+    from innfer_tpu.loader import load_model
+
+    goldens = osp.join(osp.dirname(__file__), "goldens")
+    # goldens/ppon_x4.pth is tiny (nb<24); '-a ppon' defaults to nb=24
+    model, params = load_model(
+        osp.join(goldens, "ppon_x4.pth"), arch="ppon", strict=False)
+    with pytest.raises(KeyError, match="-a infer"):
+        jax.jit(model.apply)(params, jnp.zeros((1, 16, 16, 3), jnp.float32))
