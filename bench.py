@@ -185,6 +185,10 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="image batch for the whole-image configs "
+                         "(unet/cyclegan/wbc with --tile-mode none); 0 = "
+                         "config default.  See tools/out/batch_ab.json.")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--profile", type=str, default="")
     args = ap.parse_args()
@@ -316,7 +320,7 @@ def main():
         desc = f"chain 1x+4x RRDB {hh}x{ww} tiled (product fused path) + color-fix"
     elif args.model == "unet":
         model, params = SP.build("unet", dtype=dtype, num_downs=8, ngf=64)
-        batch = 8
+        batch = args.batch or 8
         x0 = jnp.asarray(rng.random((batch, 256, 256, 3), np.float32) * 2 - 1, dtype)
         fwd = jax.jit(model.apply)
         step = lambda t: fwd(params, t)
@@ -332,12 +336,14 @@ def main():
         desc = f"4x PPON {h // 2}x{w // 2} {how} (perceptual branch)"
     elif args.model == "wbc":
         model, params = SP.build("wbc", dtype=dtype, nf=32)
-        x0 = jnp.asarray(rng.random((1, (h // 4) * 4, (w // 4) * 4, 3),
+        batch = args.batch or 1
+        x0 = jnp.asarray(rng.random((batch, (h // 4) * 4, (w // 4) * 4, 3),
                                     np.float32) * 2 - 1, dtype)
         fwd = jax.jit(lambda p, t: guided_filter(t, model.apply(p, t), r=1, eps=5e-3))
         step = lambda t: fwd(params, t)
-        out_mp = (h // 4) * 4 * (w // 4) * 4 / 1e6
-        desc = f"WBC cartoonization + guided filter {(h // 4) * 4}x{(w // 4) * 4}"
+        out_mp = batch * (h // 4) * 4 * (w // 4) * 4 / 1e6
+        desc = (f"WBC cartoonization + guided filter {(h // 4) * 4}x{(w // 4) * 4}"
+                + (f" batch {batch}" if batch > 1 else ""))
 
     for _ in range(max(args.warmup, 1)):
         sync(step(x0))
