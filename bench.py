@@ -76,8 +76,12 @@ def _probe_backend(timeout_s: float) -> bool:
         return False
 
 
-def _run_worker(timeout_s: float) -> dict | None:
-    """Run the real measurement in a subprocess; parse its last stdout line."""
+def _run_worker(timeout_s: float) -> tuple[dict | None, str]:
+    """Run the real measurement in a subprocess; parse its last stdout line.
+
+    Returns (result, reason); reason distinguishes a hang ("timeout", the
+    round-3 outage signature) from a crash ("crash"/"nojson", a likely
+    code regression when the backend probe stays live)."""
     cmd = os.environ.get("INNFER_BENCH_WORKER_CMD")
     if cmd is None:
         argv = [sys.executable, osp.abspath(__file__), "--no-supervise",
@@ -89,20 +93,20 @@ def _run_worker(timeout_s: float) -> dict | None:
                            timeout=timeout_s, capture_output=True, text=True)
     except subprocess.TimeoutExpired:
         print("bench: worker timed out", file=sys.stderr)
-        return None
+        return None, "timeout"
     if r.returncode != 0:
         print(f"bench: worker rc={r.returncode}\n{r.stderr[-2000:]}",
               file=sys.stderr)
-        return None
+        return None, "crash"
     for line in reversed(r.stdout.strip().splitlines()):
         try:
             d = json.loads(line)
             if isinstance(d, dict) and "value" in d:
-                return d
+                return d, "ok"
         except ValueError:
             continue
     print("bench: worker produced no JSON line", file=sys.stderr)
-    return None
+    return None, "nojson"
 
 
 def supervise(model: str) -> int:
@@ -116,12 +120,14 @@ def supervise(model: str) -> int:
     window = float(os.environ.get("INNFER_BENCH_RETRY_S", "1200"))
     t0 = time.time()
     backoff = float(os.environ.get("INNFER_BENCH_BACKOFF_S", "20"))
+    max_live_fails = int(os.environ.get("INNFER_BENCH_MAX_WORKER_FAILS", "3"))
     attempt = 0
+    live_fails = 0  # consecutive worker failures WITH a live backend probe
     while True:
         attempt += 1
         alive = _probe_backend(probe_to)
         if alive:
-            result = _run_worker(run_to)
+            result, reason = _run_worker(run_to)
             if result is not None:
                 result["captured_at"] = time.strftime(
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
@@ -136,28 +142,48 @@ def supervise(model: str) -> int:
                 line = {k: v for k, v in result.items() if k != "captured_at"}
                 print(json.dumps(line))
                 return 0
+            # a CRASHED worker under a LIVE probe is ambiguous on this
+            # backend (the probe's tiny executable is compile-cached, so
+            # a dead remote-compile helper can pass it while the real
+            # graph 500s) — but N consecutive crashes mean a code
+            # regression, which a stale last-good line must NOT mask as
+            # a healthy capture.  A worker TIMEOUT is the round-3 outage
+            # signature (mid-graph hang) and keeps the retry loop.
+            if reason in ("crash", "nojson"):
+                live_fails += 1
+                if live_fails >= max_live_fails:
+                    break
         else:
+            live_fails = 0  # outage evidence — reset the crash counter
             print(f"bench: backend probe failed (attempt {attempt})",
                   file=sys.stderr)
         if time.time() - t0 + backoff > window:
             break
         time.sleep(backoff)
         backoff = min(backoff * 2, 300.0)
-    # persistent outage: emit last-known-good for this config, marked
+    worker_broken = live_fails >= max_live_fails
+    # persistent outage (or broken worker): emit last-known-good, marked
     try:
         with open(_last_good_path(model)) as f:
             lg = json.load(f)
         out = {k: lg[k] for k in ("metric", "value", "unit", "vs_baseline")
                if k in lg}
-        out["outage"] = True
         out["last_good_at"] = lg.get("captured_at", "unknown")
+        if worker_broken:
+            out["worker_failed"] = True
+            print(json.dumps(out))
+            return 1
+        out["outage"] = True
         print(json.dumps(out))
         return 0
     except (OSError, ValueError, KeyError):
         print(json.dumps({
-            "metric": f"bench {model} (backend outage, no last-good)",
+            "metric": f"bench {model} ("
+                      + ("worker failed with live backend"
+                         if worker_broken else "backend outage")
+                      + ", no last-good)",
             "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
-            "outage": True}))
+            "outage": not worker_broken, "worker_failed": worker_broken}))
         return 1
 
 
@@ -240,8 +266,11 @@ def main():
     def tiled(model, params, h, w, **kw):
         if args.tile_mode == "none":
             # whole-image forward: probes the per-op/dispatch floor that
-            # binds small-spatial tiled configs (cyclegan/ppon; VERDICT r3)
-            x = jnp.asarray(rng.random((1, h, w, 3), np.float32), dtype)
+            # binds small-spatial tiled configs (cyclegan/ppon; VERDICT r3).
+            # --batch stacks N images (batched directory mode's compute
+            # core; tools/out/batch_ab.json)
+            nb = args.batch or 1
+            x = jnp.asarray(rng.random((nb, h, w, 3), np.float32), dtype)
 
             def fwd(p, t):
                 out = model.apply(p, t)
@@ -250,7 +279,8 @@ def main():
                 return out
 
             jfwd = jax.jit(fwd)
-            return (lambda t: jfwd(params, t)), x, h * w * model.scale ** 2 / 1e6
+            return ((lambda t: jfwd(params, t)), x,
+                    nb * h * w * model.scale ** 2 / 1e6)
         runner = TiledRunner(
             model.apply, model.scale, mode=args.tile_mode, tile=args.tile,
             overlap=args.overlap, tile_batch=args.tile_batch,
@@ -265,6 +295,8 @@ def main():
 
     h, w = args.height, args.width
     how = "whole-image" if args.tile_mode == "none" else "tiled"
+    if args.tile_mode == "none" and args.batch > 1:
+        how = f"whole-image batch {args.batch}"
     if args.model == "esrgan":
         model, params = SP.build("esrgan", scale=args.scale, dtype=dtype,
                                  nb=args.nb, nf=args.nf)

@@ -15,7 +15,7 @@ def tile_pallas_fast(th: int, tw: int) -> bool:
     """True when the fused RDB has a fast block decomposition for this
     tile SHAPE: a full-width strip (rdb._auto_block; 43.4 TF/s measured
     round 3), a wide tile whose width has a strip-sized 16-mult divisor
-    (whole-image hybrid trunk, e.g. 1920 -> 64x320 blocks), or the square
+    (whole-image hybrid trunk, e.g. 1920 -> 64x240 blocks), or the square
     64-block regime.  Shared by the model-side auto gate (models/rrdb)
     and the tile planner's quantum cost guard (tiling/plan)."""
     rows_ok = any(th % bh == 0 for bh in (64, 48, 32))

@@ -557,7 +557,8 @@ class InferenceSession:
         return True
 
     def run_batch(self, imgs: List[np.ndarray], *,
-                  already_prepared: bool = False) -> List[np.ndarray]:
+                  already_prepared: bool = False,
+                  pad_to: Optional[int] = None) -> List[np.ndarray]:
         """Run N same-shape images as ONE stacked whole-image forward.
 
         TPU-native addition (no reference analogue — the reference loop is
@@ -568,15 +569,23 @@ class InferenceSession:
         batch-independent and train-mode batch norm reduces per image
         (nn/functional.batch_norm).  Falls back to the per-image path when
         shapes differ or the batched activations would overflow HBM.
+
+        ``pad_to`` pads the stacked batch with copies of the last image
+        (outputs dropped) so every flush of a shape bucket reuses ONE
+        compiled shape; padding happens AFTER the batchability decision,
+        so the per-image fallback never forwards the pad duplicates.
         """
         if not already_prepared:
             imgs = [self.prepare(im) for im in imgs]
         imgs = [im[:, :, None] if im.ndim == 2 else im for im in imgs]
+        n_real = len(imgs)
+        n_run = max(pad_to or n_real, n_real)
         same = all(im.shape == imgs[0].shape and im.dtype == imgs[0].dtype
                    for im in imgs)
-        if not same or not self.batchable(imgs[0].shape, len(imgs)):
+        if not same or not self.batchable(imgs[0].shape, n_run):
             return [self.run_image(im, already_prepared=True) for im in imgs]
-        t_img = np2tensor(np.stack(imgs), normalize=self.presets.normalize,
+        stacked = np.stack(imgs + [imgs[-1]] * (n_run - n_real))
+        t_img = np2tensor(stacked, normalize=self.presets.normalize,
                           dtype=self.compute_dtype)
         if (self._mesh is not None
                 and self._mesh.shape.get("model", 1) == 1
@@ -594,7 +603,7 @@ class InferenceSession:
             if self.presets.use_guided_filter:
                 t_out = guided_filter(t_img, t_out, r=1, eps=5e-3)
         out = tensor2np(t_out, denormalize=self.presets.normalize, batched=True)
-        return [out[i] for i in range(out.shape[0])]
+        return [out[i] for i in range(n_real)]
 
     def process(
         self,
@@ -661,12 +670,14 @@ class InferenceSession:
 
         def flush(group):
             names, srcs, imgs = zip(*group)
-            n_real = len(imgs)
-            padded = list(imgs) + [imgs[-1]] * (batch - n_real)
-            ctx = timers.stage("image") if timers else _nullctx()
+            # "batch" not "image": one sample covers the whole group, so
+            # --timing stays honest under --batch N (per-image time =
+            # batch time / group size)
+            ctx = timers.stage("batch") if timers else _nullctx()
             with ctx:
-                outs = self.run_batch(padded, already_prepared=True)
-            for name, src, img_in, out in zip(names, srcs, imgs, outs[:n_real]):
+                outs = self.run_batch(list(imgs), already_prepared=True,
+                                      pad_to=batch)
+            for name, src, img_in, out in zip(names, srcs, imgs, outs):
                 finish(name, src, img_in, out)
 
         pending = {}

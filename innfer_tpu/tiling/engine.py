@@ -239,8 +239,10 @@ def hybrid_dims(h: int, w: int) -> tuple:
     rows to the next 64-multiple (64-row strip blocks), width to the
     candidate in [w, w+63] minimizing padded_px * halo_inflation(bw)
     where bw is the block width the kernel would pick (rdb._wide_bw).
-    1080x1920 -> 1088x1920 with 64x320 blocks (ratio 1.0074 of true px vs
-    the auto tile grid's 1.138)."""
+    1080x1920 -> 1088x1920 with 64x240 blocks (_wide_bw caps at
+    MAX_WIDE_BW=256 since the round-4 VMEM sweep; halo inflation 1.067,
+    whole-trunk px ratio 1.0074 of true px vs the auto tile grid's
+    1.138)."""
     from innfer_tpu.ops.pallas.rdb import MAX_BW, _wide_bw
 
     ph = -(-h // 64) * 64
@@ -454,7 +456,11 @@ class TiledRunner:
                     # 576/ov16 grid's 1.1294 — measured faster end to end
                     # same-window (19.89 vs 19.75 MP/s at 1080p,
                     # tools/out/hybrid_breakdown.json, round 4).
-                    ov = 2 * self.tail_halo
+                    # tail_halo defaults to 0 for library callers that
+                    # construct a hybrid runner without the kwarg — fall
+                    # back to their explicit overlap rather than cutting
+                    # a zero-overlap (unblended) tail grid
+                    ov = 2 * self.tail_halo or self.overlap
                     anchor = 576
                     n_rows = max(1, -(-(ph - ov) // (anchor - ov)))
                     th = -(-(ph + (n_rows - 1) * ov) // n_rows)

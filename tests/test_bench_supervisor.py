@@ -93,3 +93,19 @@ def test_worker_failure_then_recovery_retries(tmp_path):
     rc, out = run_supervised(
         tmp_path, probe_cmd="true", worker_cmd=script, retry_s="60")
     assert rc == 0 and out["value"] == 21.0 and "outage" not in out
+
+
+def test_worker_crash_with_live_backend_flags_worker_failed(tmp_path):
+    """3 consecutive worker CRASHES under a live probe is a code
+    regression, not an outage: the last-good line must be emitted with
+    worker_failed (not outage) and a NONZERO exit so the driver can't
+    record a stale number as a healthy capture."""
+    seed = {"metric": "m", "value": 20.1, "unit": "MP/s",
+            "vs_baseline": 1.0, "captured_at": "2026-08-03T00:00:00Z"}
+    rc, out = run_supervised(
+        tmp_path, probe_cmd="true", worker_cmd="exit 3",
+        retry_s="60", seed_last_good=seed)
+    assert rc == 1
+    assert out["worker_failed"] is True and "outage" not in out
+    assert out["value"] == 20.1
+    assert out["last_good_at"] == "2026-08-03T00:00:00Z"
