@@ -19,6 +19,16 @@ import os
 import sys
 
 
+def resolve_batch(batch: int, presets) -> int:
+    """--batch 0 (auto): fixed-size presets (unet/p2p resize pins every
+    prepared image to one shape) default to batched groups of 8 — exact
+    per-image parity, ~9x directory throughput at 256x256 (batch_ab.json);
+    everything else stays per-image unless the user asks."""
+    if batch:
+        return batch
+    return 8 if presets.resize else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="innfer-tpu", description=__doc__)
     p.add_argument("-models", "-m", type=str, required=True, help="Path to models (chain with + or >).")
@@ -44,11 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "matches the original chop grid, 'none' forces whole-image "
                    "forwards.")
     p.add_argument("--tile-batch", type=int, default=8, help="Tiles per compiled step.")
-    p.add_argument("--batch", type=int, default=1,
+    p.add_argument("--batch", type=int, default=0,
                    help="Group N same-shape images into one stacked "
                    "whole-image forward (exact per-image parity; fills the "
                    "MXU for small fixed-size inputs like pix2pix 256/512). "
-                   "Groups that would overflow HBM fall back per-image.")
+                   "Groups that would overflow HBM fall back per-image.  "
+                   "0 = auto: 8 for fixed-size pix2pix/UNet presets (their "
+                   "resize makes every image one shape; 7.4 -> 67 MP/s at "
+                   "batch 8, tools/out/batch_ab.json), 1 otherwise.")
     p.add_argument("--bucket", type=int, default=0, help="Pad compile shapes to multiples.")
     p.add_argument("--no-fused-chain", action="store_true",
                    help="Run model chains stage-by-stage (materializing "
@@ -159,7 +172,7 @@ def main(argv=None) -> int:
             args.input, args.output, use_color_fix=args.cf, comp=args.comp,
             shard_index=shard_index, num_shards=num_shards,
             metrics_dir=args.metrics or None, timers=timers,
-            batch=args.batch,
+            batch=resolve_batch(args.batch, presets),
         )
     if timers is not None:
         timers.log_report()

@@ -603,3 +603,23 @@ class TestBatchedMode:
         for a, b in zip(outs_m, outs_s):
             assert a.shape == (32, 32, 3)
             assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+    def test_cli_auto_batch_for_fixed_size_presets(self, tmp_path):
+        """--batch 0 (the default) resolves to 8 for resize presets and 1
+        otherwise; a unet-preset CLI run batches transparently."""
+        from innfer_tpu.cli import main, resolve_batch
+
+        assert resolve_batch(0, select_presets("unet_128")) == 8
+        assert resolve_batch(0, select_presets("infer")) == 1
+        assert resolve_batch(3, select_presets("unet_128")) == 3
+        inp, out = tmp_path / "in", tmp_path / "out"
+        inp.mkdir()
+        for i in range(3):
+            _write_png(inp / f"i{i}.png", 20 + i, 28, seed=i)
+        rc = main([
+            "-m", osp.join(GOLDENS, "unet128.pth"), "-a", "unet_128",
+            "-i", str(inp), "-o", str(out), "-no_fp16", "-cpu",
+        ])
+        assert rc == 0
+        for i in range(3):
+            assert cv2.imread(str(out / f"i{i}.png")).shape == (128, 128, 3)
