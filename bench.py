@@ -12,6 +12,7 @@ Other configs via --model:
   cyclegan  — CycleGAN ResNet-9 tiled image-to-image
   ppon      — PPON 4x tiled (3-branch, output index 2)
   wbc       — WBC cartoonization + guided filter
+  pan       — PAN 4x tiled (pixel attention, self-attention FSA)
 
 The metric is output megapixels per second per chip; the BASELINE.json
 north-star target (vs_baseline=1.0) is 20 MP/s for the headline config.
@@ -194,7 +195,7 @@ def main():
                          "fallback; used internally by the supervisor)")
     ap.add_argument("--model", default="esrgan",
                     choices=["esrgan", "srresnet", "chain", "unet", "cyclegan",
-                             "ppon", "wbc"])
+                             "ppon", "wbc", "pan"])
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--nb", type=int, default=23)
@@ -362,6 +363,10 @@ def main():
         model, params = SP.build("cyclegan", dtype=dtype, n_blocks=9, ngf=64)
         step, x0, out_mp = tiled(model, params, h // 2, w // 2)
         desc = f"CycleGAN ResNet-9 {h // 2}x{w // 2} {how}"
+    elif args.model == "pan":
+        model, params = SP.build("pan", scale=4, dtype=dtype, nb=16)
+        step, x0, out_mp = tiled(model, params, h, w)
+        desc = f"4x PAN {h}x{w} {how}"
     elif args.model == "ppon":
         model, params = SP.build("ppon", scale=4, dtype=dtype, nb=24)
         step, x0, out_mp = tiled(model, params, h // 2, w // 2)
