@@ -668,15 +668,27 @@ class InferenceSession:
             if verbose:
                 print(f"{image_path} -> {dst} {out.shape[1]}x{out.shape[0]}")
 
-        def flush(group):
+        seen_full = set()  # shape keys that compiled a full-batch forward
+
+        def flush(group, key):
             names, srcs, imgs = zip(*group)
+            # Pad to the full batch ONLY when this shape already compiled
+            # a full-batch forward this run (padding then reuses the
+            # executable for free).  A bucket that never filled — e.g.
+            # every image in a mixed-size directory — pads nothing: it
+            # runs at natural size (fresh compile either way), so --batch
+            # on a no-two-alike directory costs nothing instead of
+            # batch-x redundant compute per image.
+            if len(imgs) == batch:
+                seen_full.add(key)
+            pad_to = batch if key in seen_full else None
             # "batch" not "image": one sample covers the whole group, so
             # --timing stays honest under --batch N (per-image time =
             # batch time / group size)
             ctx = timers.stage("batch") if timers else _nullctx()
             with ctx:
                 outs = self.run_batch(list(imgs), already_prepared=True,
-                                      pad_to=batch)
+                                      pad_to=pad_to)
             for name, src, img_in, out in zip(names, srcs, imgs, outs):
                 finish(name, src, img_in, out)
 
@@ -692,16 +704,16 @@ class InferenceSession:
                 group = pending.setdefault(key, [])
                 group.append((name, image_path, img_in))
                 if len(group) == batch:
-                    flush(group)
+                    flush(group, key)
                     pending[key] = []
                 continue
             ctx = timers.stage("image") if timers else _nullctx()
             with ctx:
                 out = self.run_image(img_in, already_prepared=True)
             finish(name, image_path, img_in, out)
-        for group in pending.values():
+        for key, group in pending.items():
             if group:
-                flush(group)
+                flush(group, key)
         loader.close()
         if metric_rows and verbose:
             mean_p = sum(r["psnr"] for r in metric_rows) / len(metric_rows)

@@ -623,3 +623,33 @@ class TestBatchedMode:
         assert rc == 0
         for i in range(3):
             assert cv2.imread(str(out / f"i{i}.png")).shape == (128, 128, 3)
+
+    def test_flush_pads_only_compiled_shapes(self, tmp_path, monkeypatch):
+        """--batch on a mixed-size directory must not pad singleton
+        buckets to the full batch (batch-x redundant compute with no
+        compile to reuse); padding applies only after a full-batch flush
+        of that shape compiled the executable."""
+        inp, out = tmp_path / "in", tmp_path / "out"
+        inp.mkdir()
+        for i in range(4):  # one full bucket of 24x20...
+            _write_png(inp / f"s{i}.png", 24, 20, seed=i)
+        _write_png(inp / "s4.png", 24, 20, seed=9)  # ...+1 leftover (pads)
+        _write_png(inp / "odd.png", 16, 16, seed=5)  # never fills (no pad)
+        p = select_presets("infer")
+        p.chop = False
+        sess = InferenceSession(
+            osp.join(GOLDENS, "esrgan_x2.pth"), presets=p,
+            compute_dtype=jnp.float32)
+        calls = []
+        real = sess.run_batch
+
+        def spy(imgs, **kw):
+            calls.append((len(imgs), kw.get("pad_to")))
+            return real(imgs, **kw)
+
+        monkeypatch.setattr(sess, "run_batch", spy)
+        written = sess.process(str(inp), str(out), verbose=False, batch=4)
+        assert len(written) == 6
+        assert (4, 4) in calls          # full bucket: padded shape compiled
+        assert (1, 4) in calls          # leftover of a seen shape: reuses it
+        assert (1, None) in calls       # never-full bucket: natural size
