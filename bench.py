@@ -154,6 +154,8 @@ def supervise(model: str) -> int:
                 live_fails += 1
                 if live_fails >= max_live_fails:
                     break
+            else:  # timeout IS outage evidence — reset like a dead probe
+                live_fails = 0
         else:
             live_fails = 0  # outage evidence — reset the crash counter
             print(f"bench: backend probe failed (attempt {attempt})",
@@ -162,7 +164,10 @@ def supervise(model: str) -> int:
             break
         time.sleep(backoff)
         backoff = min(backoff * 2, 300.0)
-    worker_broken = live_fails >= max_live_fails
+    # Any unresolved crash evidence at exit counts: a slow-crashing
+    # regression that burns the retry window in <max_live_fails attempts
+    # must not be laundered into a soft-healthy "outage" line.
+    worker_broken = live_fails > 0
     # persistent outage (or broken worker): emit last-known-good, marked
     try:
         with open(_last_good_path(model)) as f:

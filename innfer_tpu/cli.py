@@ -19,11 +19,22 @@ import os
 import sys
 
 
-def resolve_batch(batch: int, presets) -> int:
-    """--batch 0 (auto): fixed-size presets (unet/p2p resize pins every
-    prepared image to one shape) default to batched groups of 8 — exact
-    per-image parity, ~9x directory throughput at 256x256 (batch_ab.json);
-    everything else stays per-image unless the user asks."""
+def resolve_batch(batch: int, presets, spatial: bool = False) -> int:
+    """--batch 0 (auto): the resize presets (unet/p2p; linear_resize pins
+    prepared images to one shape PER ASPECT-RATIO CLASS) default to
+    batched groups of 8 — exact per-image parity, ~9x directory
+    throughput at 256x256 (batch_ab.json); mixed-aspect directories just
+    form more buckets (never-full buckets run unpadded at natural size).
+    Everything else stays per-image unless the user asks.  --spatial is
+    an explicit execution-strategy request that batching would silently
+    bypass, so it wins over auto and rejects an explicit conflict."""
+    if spatial:
+        if batch > 1:
+            raise SystemExit(
+                "--batch and --spatial are incompatible: batched groups "
+                "run stacked whole-image forwards, bypassing the "
+                "H-sharded spatial runner you asked for")
+        return 1
     if batch:
         return batch
     return 8 if presets.resize else 1
@@ -172,7 +183,7 @@ def main(argv=None) -> int:
             args.input, args.output, use_color_fix=args.cf, comp=args.comp,
             shard_index=shard_index, num_shards=num_shards,
             metrics_dir=args.metrics or None, timers=timers,
-            batch=resolve_batch(args.batch, presets),
+            batch=resolve_batch(args.batch, presets, spatial=args.spatial),
         )
     if timers is not None:
         timers.log_report()

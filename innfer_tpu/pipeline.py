@@ -627,9 +627,10 @@ class InferenceSession:
         image-level data parallelism (parallel/multihost.py);
         ``metrics_dir`` computes PSNR/SSIM vs same-named ground-truth files.
         ``batch > 1`` groups same-shape prepared images and runs each full
-        group as ONE stacked whole-image forward (run_batch); partial
-        groups at end-of-directory are padded to ``batch`` so every
-        forward reuses one compiled shape per distinct image shape.
+        group as ONE stacked whole-image forward (run_batch).  Partial
+        groups at end-of-directory are padded to ``batch`` only when a
+        full batch of that shape already compiled this run (reusing the
+        executable); never-full buckets run unpadded at natural size.
         """
         from innfer_tpu.parallel.multihost import shard_paths
         from innfer_tpu.runtime.native import PrefetchLoader
