@@ -113,8 +113,11 @@ def _run_worker(timeout_s: float) -> tuple[dict | None, str]:
 def supervise(model: str) -> int:
     """Probe -> run -> retry-with-backoff -> last-good fallback.
 
-    Exit 0 with one JSON line on stdout in every reachable case except
-    "persistent outage AND no last-good recorded" (exit 1, still one line).
+    Always prints exactly one JSON line on stdout.  Exit 1 in two cases
+    (exit 0 otherwise): (a) persistent outage AND no last-good recorded,
+    (b) N consecutive worker crashes under a live backend probe (a likely
+    code regression — a stale last-good line, if any, is still printed but
+    marked "worker_failed" and must not pass as a healthy capture).
     """
     probe_to = float(os.environ.get("INNFER_BENCH_PROBE_TIMEOUT", "120"))
     run_to = float(os.environ.get("INNFER_BENCH_RUN_TIMEOUT", "1800"))

@@ -68,6 +68,20 @@ class TorchScriptStage:
         if scale and probed and scale != probed:
             print(f"Warning: filename/flag scale {scale} != probed scale "
                   f"{probed} for {path}; using {probed}")
+        if probed is None:
+            # every probe size failed (e.g. in_nc != 3 rejects the RGB
+            # zeros input) — the very corruption probing exists to prevent
+            # is now possible, and _forward_np will also assume 3-channel
+            # NHWC at runtime, so be loud about the unverified fallback
+            import warnings
+
+            warnings.warn(
+                f"TorchScript scale probe failed for {path} (no probe size "
+                "accepted a 1x3xSxS input); falling back to the unverified "
+                f"filename/flag scale {scale or 1}.  If the module expects "
+                "non-3-channel input it cannot run in this pipeline; if its "
+                "true scale differs, the tiled recompose geometry will be "
+                "wrong.")
         self.model = ModelDef(
             name="torchscript", cfg={"type": "torchscript"},
             apply=None, scale=probed or scale or 1)

@@ -461,6 +461,16 @@ class TiledRunner:
                     # back to their explicit overlap rather than cutting
                     # a zero-overlap (unblended) tail grid
                     ov = 2 * self.tail_halo or self.overlap
+                    if 2 * self.tail_halo and self.overlap > ov:
+                        import logging
+
+                        logging.getLogger("innfer_tpu").info(
+                            "hybrid mode: planner-owned tail grid uses the "
+                            "seam-exactness overlap %d (2*tail_halo); the "
+                            "configured overlap %d only applies to tiled "
+                            "modes (pass --tile HxW to pin a custom hybrid "
+                            "tail grid honoring it)",
+                            ov, self.overlap)
                     anchor = 576
                     n_rows = max(1, -(-(ph - ov) // (anchor - ov)))
                     th = -(-(ph + (n_rows - 1) * ov) // n_rows)

