@@ -22,22 +22,25 @@ import sys
 def resolve_batch(batch: int, presets, spatial: bool = False) -> int:
     """--batch 0 (auto): the resize presets (unet/p2p; linear_resize pins
     prepared images to one shape PER ASPECT-RATIO CLASS) default to
-    batched groups of 8 — exact per-image parity, ~9x directory
-    throughput at 256x256 (batch_ab.json); mixed-aspect directories just
-    form more buckets (never-full buckets run unpadded at natural size).
-    Everything else stays per-image unless the user asks.  --spatial is
-    an explicit execution-strategy request that batching would silently
-    bypass, so it wins over auto and rejects an explicit conflict."""
+    estimator-sized groups (InferenceSession.auto_batch: the largest
+    power-of-2 within the HBM budget, capped at 32 — the old constant 8
+    left UNet-256 at 62 vs 190 MP/s, tools/out/bench_last_good_unet_*.json);
+    mixed-aspect directories just form more buckets (never-full buckets
+    run unpadded at natural size).  Everything else stays per-image
+    unless the user asks: --batch N composes with tiled presets too
+    (cross-image tile stacking).  --spatial is an explicit execution-
+    strategy request that batching would silently bypass, so it wins
+    over auto and rejects an explicit conflict."""
     if spatial:
         if batch > 1:
             raise SystemExit(
                 "--batch and --spatial are incompatible: batched groups "
-                "run stacked whole-image forwards, bypassing the "
-                "H-sharded spatial runner you asked for")
+                "run stacked forwards, bypassing the H-sharded spatial "
+                "runner you asked for")
         return 1
     if batch:
         return batch
-    return 8 if presets.resize else 1
+    return 0 if presets.resize else 1
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -66,13 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
                    "forwards.")
     p.add_argument("--tile-batch", type=int, default=8, help="Tiles per compiled step.")
     p.add_argument("--batch", type=int, default=0,
-                   help="Group N same-shape images into one stacked "
-                   "whole-image forward (exact per-image parity; fills the "
-                   "MXU for small fixed-size inputs like pix2pix 256/512). "
-                   "Groups that would overflow HBM fall back per-image.  "
-                   "0 = auto: 8 for fixed-size pix2pix/UNet presets (their "
-                   "resize makes every image one shape; 7.4 -> 67 MP/s at "
-                   "batch 8, tools/out/batch_ab.json), 1 otherwise.")
+                   help="Group N same-shape images into one stacked forward "
+                   "(exact per-image parity; fills the MXU for small "
+                   "inputs).  Whole-image for untiled presets; tiled "
+                   "presets stack tiles from all N images into shared "
+                   "dispatch groups (amortizes the per-dispatch floor that "
+                   "binds CycleGAN/PPON).  Groups that would overflow HBM "
+                   "fall back per-image.  0 = auto: HBM-estimator-sized "
+                   "groups (<=32) for fixed-size pix2pix/UNet presets "
+                   "(their resize makes every image one shape; 7.4 -> 190 "
+                   "MP/s at batch 32), 1 otherwise.")
     p.add_argument("--bucket", type=int, default=0, help="Pad compile shapes to multiples.")
     p.add_argument("--no-fused-chain", action="store_true",
                    help="Run model chains stage-by-stage (materializing "

@@ -41,9 +41,12 @@ class StageTimers:
     """Accumulate wall-clock per named stage; ``report()`` returns a dict."""
 
     def __init__(self, sync: bool = False):
+        import threading
+
         self.sync = sync
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self._lock = threading.Lock()  # encode stages run on pool threads
 
     @contextlib.contextmanager
     def stage(self, name: str, sync_val=None):
@@ -53,8 +56,10 @@ class StageTimers:
         finally:
             if self.sync and sync_val is not None:
                 device_sync(sync_val)
-            self.totals[name] += time.perf_counter() - t0
-            self.counts[name] += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def report(self) -> Dict[str, Dict[str, float]]:
         return {

@@ -16,6 +16,7 @@ accumulation is preserved inside every conv (innfer_tpu.nn.functional).
 """
 from __future__ import annotations
 
+import os
 import os.path as osp
 from dataclasses import dataclass
 from typing import Any, List, Optional, Sequence, Tuple
@@ -339,6 +340,7 @@ class InferenceSession:
                                      [scale] * n_chain if scale else None,
                                      models_dir)
         self._mesh = mesh
+        self._spatial = spatial
         if mesh is not None:
             # dp requires whole chunks per device; round the tile batch up
             n_data = mesh.shape.get("data", 1)
@@ -556,15 +558,73 @@ class InferenceSession:
             c = int(st.model.cfg.get("out_nc", 3))
         return True
 
+    def batchable_tiled(self, shape: Sequence[int], n: int) -> bool:
+        """Whether ``n`` stacked images can run through the TILED engine
+        (cross-image tile stacking).  Per-dispatch activations stay bounded
+        by the engine's group-px cap regardless of ``n``; the ``n``-scaled
+        cost is the resident canvases — input stack, fp32 SR tiles, fp32
+        recompose canvas and output per image — estimated at ~24 bytes per
+        output pixel with a 2 GB reserve for the group activations."""
+        if n <= 1:
+            return False
+        if jax.default_backend() == "cpu":
+            return True
+        h, w = int(shape[0]), int(shape[1])
+        out_px = n * h * w * self.total_scale ** 2
+        return out_px * 24 < _WHOLE_IMAGE_HBM_BUDGET - 2 * 1024 ** 3
+
+    def _group_fits(self, shape: Sequence[int], n: int) -> bool:
+        if self.presets.chop:
+            return self.batchable_tiled(shape, n)
+        return self.batchable(shape, n)
+
+    def auto_batch(self, shape: Sequence[int], cap: int = 0) -> int:
+        """Estimator-driven group size for ``--batch 0`` (auto): the
+        largest power-of-2 N <= cap whose stacked activations fit the HBM
+        budget (VERDICT r4 #4 — the measured b32-vs-b8 gap left 3x on the
+        table under the old constant 8).  The cap (default 32, env
+        INNFER_MAX_BATCH) bounds group-fill latency and compile size; the
+        known cg whole-image batch-4 compile pathology (BASELINE.md) is
+        fenced in _fence_cg_batch."""
+        cap = cap or int(os.environ.get("INNFER_MAX_BATCH", "32"))
+        n = 1
+        while n * 2 <= cap and self._group_fits(shape, n * 2):
+            n *= 2
+        return self._fence_cg_batch(n, explicit=False)
+
+    def _fence_cg_batch(self, n: int, explicit: bool = True) -> int:
+        """CycleGAN WHOLE-IMAGE forwards at exactly batch 4 compile ~4x
+        slower, reproducibly (XLA shape pathology, BASELINE.md).  Auto
+        sizing never picks 4 for an affected session (bumps to 2); an
+        explicit --batch 4 is honored but warned about."""
+        if n != 4 or self.presets.chop:
+            return n
+        if not any(st.model.cfg.get("type") == "resnet_net"
+                   for st in self.stages):
+            return n
+        import logging
+
+        if explicit:
+            logging.getLogger("innfer_tpu").warning(
+                "cyclegan whole-image forwards at batch 4 hit a known "
+                "~4x XLA compile stall on TPU (BASELINE.md); consider "
+                "--batch 8 or --batch 2")
+            return n
+        return 2
+
     def run_batch(self, imgs: List[np.ndarray], *,
                   already_prepared: bool = False,
                   pad_to: Optional[int] = None) -> List[np.ndarray]:
-        """Run N same-shape images as ONE stacked whole-image forward.
+        """Run N same-shape images as ONE stacked forward.
 
         TPU-native addition (no reference analogue — the reference loop is
         strictly serial, run.py:404-442): small fixed-size inputs (pix2pix
         256/512, cyclegan slabs, wbc) are dispatch-floor-bound at batch 1,
-        so stacking fills the MXU and amortizes per-op overhead.  Exact
+        so stacking fills the MXU and amortizes per-op overhead.  Chopped
+        presets (cyclegan, default SR) route the stack through the TILED
+        engine — tiles from all images share dispatch groups grown toward
+        the group-px cap (cross-image tile stacking, engine.tiled_apply);
+        whole-image presets run one stacked untiled forward.  Exact
         per-image parity by construction: convs/instance-norm are
         batch-independent and train-mode batch norm reduces per image
         (nn/functional.batch_norm).  Falls back to the per-image path when
@@ -582,26 +642,38 @@ class InferenceSession:
         n_run = max(pad_to or n_real, n_real)
         same = all(im.shape == imgs[0].shape and im.dtype == imgs[0].dtype
                    for im in imgs)
-        if not same or not self.batchable(imgs[0].shape, n_run):
+        # tiled stacking needs every stage on the jit path: spatial runners
+        # shard ONE image and host-executed TorchScript stages loop
+        # internally anyway, so both keep the per-image path
+        has_ts = any(st.model.apply is None for st in self.stages)
+        tiled_ok = (self.presets.chop and not self._spatial and not has_ts
+                    and same and self.batchable_tiled(imgs[0].shape, n_run))
+        if not tiled_ok and (
+                not same or not self.batchable(imgs[0].shape, n_run)):
             return [self.run_image(im, already_prepared=True) for im in imgs]
         stacked = np.stack(imgs + [imgs[-1]] * (n_run - n_real))
         t_img = np2tensor(stacked, normalize=self.presets.normalize,
                           dtype=self.compute_dtype)
         if (self._mesh is not None
                 and self._mesh.shape.get("model", 1) == 1
-                and t_img.shape[0] % self._mesh.shape.get("data", 1) == 0):
+                and t_img.shape[0] % self._mesh.shape.get("data", 1) == 0
+                and not tiled_ok):
             # image-level dp: shard the stacked batch over the data axis —
             # images are embarrassingly parallel, XLA propagates the
-            # sharding through every stage (params are replicated)
+            # sharding through every stage (params are replicated).  (The
+            # tiled path shards its dispatch groups itself.)
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
 
             t_img = jax.device_put(t_img, NamedSharding(self._mesh, P("data")))
-        t_out = t_img
-        for stage in self.stages:
-            t_out = stage(t_out, force_whole=True)
-            if self.presets.use_guided_filter:
-                t_out = guided_filter(t_img, t_out, r=1, eps=5e-3)
+        if tiled_ok and self._fused_runner is not None:
+            t_out = self._fused_runner(None, t_img)
+        else:
+            t_out = t_img
+            for stage in self.stages:
+                t_out = stage(t_out, force_whole=not tiled_ok)
+                if self.presets.use_guided_filter:
+                    t_out = guided_filter(t_img, t_out, r=1, eps=5e-3)
         out = tensor2np(t_out, denormalize=self.presets.normalize, batched=True)
         return [out[i] for i in range(n_real)]
 
@@ -622,14 +694,21 @@ class InferenceSession:
         """Process a directory of images; returns written paths.
 
         Decoding of upcoming images runs on native background threads
-        (runtime/native.PrefetchLoader) overlapped with device compute.
+        (runtime/native.PrefetchLoader) overlapped with device compute;
+        PNG ENCODING of finished outputs likewise runs on a background
+        thread pool (``INNFER_ENCODE_THREADS``, default 2, 0 = inline) so
+        host-side saves overlap the next group's device compute — for
+        fast configs a serial 8-MP PNG encode would dominate wall clock
+        (VERDICT r4 #1).  Write errors surface at the end-of-run drain.
         ``num_shards``/``shard_index`` stripe the work list for multi-host
         image-level data parallelism (parallel/multihost.py);
         ``metrics_dir`` computes PSNR/SSIM vs same-named ground-truth files.
         ``batch > 1`` groups same-shape prepared images and runs each full
-        group as ONE stacked whole-image forward (run_batch).  Partial
-        groups at end-of-directory are padded to ``batch`` only when a
-        full batch of that shape already compiled this run (reusing the
+        group as ONE stacked forward (run_batch: tiled for chopped presets,
+        whole-image otherwise).  ``batch == 0`` sizes each shape's group
+        from the HBM estimator (auto_batch).  Partial groups at
+        end-of-directory are padded to the group target only when a full
+        group of that shape already compiled this run (reusing the
         executable); never-full buckets run unpadded at natural size.
         """
         from innfer_tpu.parallel.multihost import shard_paths
@@ -642,14 +721,28 @@ class InferenceSession:
         )
         metric_rows = []
 
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_enc = int(os.environ.get("INNFER_ENCODE_THREADS", "2"))
+        enc_pool = ThreadPoolExecutor(max_workers=n_enc) if n_enc > 0 else None
+        enc_futures = []
+
+        def _save(out, dst, img_in):
+            ctx = timers.stage("encode") if timers else _nullctx()
+            with ctx:
+                if comp:
+                    iio.save_img_comp([img_in, out], dst)
+                else:
+                    iio.save_img(out, dst)
+
         def finish(name, image_path, img_in, out):
             if use_color_fix:
                 out = np.asarray(color_fix(jnp.asarray(img_in), jnp.asarray(out)))
             dst = osp.join(output_dir, f"{name}.png")
-            if comp:
-                iio.save_img_comp([img_in, out], dst)
+            if enc_pool is not None:
+                enc_futures.append(enc_pool.submit(_save, out, dst, img_in))
             else:
-                iio.save_img(out, dst)
+                _save(out, dst, img_in)
             written.append(dst)
             if metrics_dir:
                 gt = _find_reference(metrics_dir, name)
@@ -670,6 +763,9 @@ class InferenceSession:
                 print(f"{image_path} -> {dst} {out.shape[1]}x{out.shape[0]}")
 
         seen_full = set()  # shape keys that compiled a full-batch forward
+        targets = {}       # shape key -> resolved group size
+        if batch > 1:
+            self._fence_cg_batch(batch)  # warn on the known cg-b4 stall
 
         def flush(group, key):
             names, srcs, imgs = zip(*group)
@@ -680,9 +776,10 @@ class InferenceSession:
             # runs at natural size (fresh compile either way), so --batch
             # on a no-two-alike directory costs nothing instead of
             # batch-x redundant compute per image.
-            if len(imgs) == batch:
+            target = targets[key]
+            if len(imgs) == target:
                 seen_full.add(key)
-            pad_to = batch if key in seen_full else None
+            pad_to = target if key in seen_full else None
             # "batch" not "image": one sample covers the whole group, so
             # --timing stays honest under --batch N (per-image time =
             # batch time / group size)
@@ -693,18 +790,35 @@ class InferenceSession:
             for name, src, img_in, out in zip(names, srcs, imgs, outs):
                 finish(name, src, img_in, out)
 
+        def timed_read(it):
+            # attribute blocking-on-decode time to a "read" stage so
+            # --timing splits the product loop into read/compute/encode
+            it = iter(it)
+            while True:
+                ctx = timers.stage("read") if timers else _nullctx()
+                with ctx:
+                    try:
+                        item = next(it)
+                    except StopIteration:
+                        return
+                yield item
+
         pending = {}
-        for _idx, image_path, img in loader:
+        for _idx, image_path, img in timed_read(loader):
             name = osp.splitext(osp.basename(image_path))[0]
             if img is None:
                 print(f"Error reading image {image_path}, skipping.")
                 continue
             img_in = self.prepare(img)
-            if batch > 1:
-                key = (img_in.shape, str(img_in.dtype))
+            key = (img_in.shape, str(img_in.dtype))
+            if key not in targets:
+                targets[key] = (batch if batch > 1
+                                else self.auto_batch(img_in.shape)
+                                if batch == 0 else 1)
+            if targets[key] > 1:
                 group = pending.setdefault(key, [])
                 group.append((name, image_path, img_in))
-                if len(group) == batch:
+                if len(group) == targets[key]:
                     flush(group, key)
                     pending[key] = []
                 continue
@@ -716,6 +830,10 @@ class InferenceSession:
             if group:
                 flush(group, key)
         loader.close()
+        if enc_pool is not None:
+            for f in enc_futures:
+                f.result()  # surface write errors; preserves raise-on-fail
+            enc_pool.shutdown()
         if metric_rows and verbose:
             mean_p = sum(r["psnr"] for r in metric_rows) / len(metric_rows)
             mean_s = sum(r["ssim"] for r in metric_rows) / len(metric_rows)

@@ -605,11 +605,12 @@ class TestBatchedMode:
             assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
     def test_cli_auto_batch_for_fixed_size_presets(self, tmp_path):
-        """--batch 0 (the default) resolves to 8 for resize presets and 1
-        otherwise; a unet-preset CLI run batches transparently."""
+        """--batch 0 (the default) resolves to estimator-auto (0) for
+        resize presets and 1 otherwise; a unet-preset CLI run batches
+        transparently."""
         from innfer_tpu.cli import main, resolve_batch
 
-        assert resolve_batch(0, select_presets("unet_128")) == 8
+        assert resolve_batch(0, select_presets("unet_128")) == 0
         assert resolve_batch(0, select_presets("infer")) == 1
         assert resolve_batch(3, select_presets("unet_128")) == 3
         inp, out = tmp_path / "in", tmp_path / "out"
@@ -653,3 +654,192 @@ class TestBatchedMode:
         assert (4, 4) in calls          # full bucket: padded shape compiled
         assert (1, 4) in calls          # leftover of a seen shape: reuses it
         assert (1, None) in calls       # never-full bucket: natural size
+
+
+class TestTiledBatchedMode:
+    """Cross-image tile stacking at the pipeline level (VERDICT r4 #2):
+    --batch with CHOPPED presets routes the stack through the tiled
+    engine; parity contract is exact per-image equivalence."""
+
+    def _imgs(self, shapes, seeds=None):
+        rng_seeds = seeds or range(len(shapes))
+        return [
+            np.random.default_rng(s).integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for s, (h, w) in zip(rng_seeds, shapes)
+        ]
+
+    def test_cyclegan_tiled_batch_matches_per_image(self):
+        sess = InferenceSession(
+            osp.join(GOLDENS, "cyclegan9.pth"), arch="resnet_net",
+            presets=select_presets("resnet_net"), compute_dtype=jnp.float32,
+            tile=24, overlap=8, tile_batch=4,
+        )
+        assert sess.presets.chop
+        imgs = self._imgs([(40, 40)] * 3, seeds=[1, 2, 3])
+        batched = sess.run_batch(imgs)
+        solo = [sess.run_image(im) for im in imgs]
+        for b, s in zip(batched, solo):
+            assert b.shape == s.shape
+            assert np.abs(b.astype(int) - s.astype(int)).max() <= 1
+
+    def test_ppon_tiled_batch_matches_per_image(self):
+        sess = InferenceSession(
+            osp.join(GOLDENS, "ppon_x4.pth"), compute_dtype=jnp.float32,
+            tile=16, overlap=8, tile_batch=4,
+        )
+        imgs = self._imgs([(24, 24)] * 2, seeds=[4, 5])
+        batched = sess.run_batch(imgs)
+        solo = [sess.run_image(im) for im in imgs]
+        for b, s in zip(batched, solo):
+            assert b.shape == (96, 96, 3)
+            assert np.abs(b.astype(int) - s.astype(int)).max() <= 1
+
+    def test_fused_chain_batch_matches_per_image(self, tmp_path):
+        from innfer_tpu.checkpoint.writer import write_checkpoint
+        from innfer_tpu.checkpoint.torch_pickle import load_checkpoint
+
+        src = load_checkpoint(osp.join(GOLDENS, "esrgan_x2.pth"))
+        c1 = str(tmp_path / "a_1.pth")
+        write_checkpoint(c1, src)
+        sess = InferenceSession(
+            c1 + "+" + osp.join(GOLDENS, "esrgan_x2.pth"),
+            compute_dtype=jnp.float32, tile=16, overlap=8, tile_batch=4,
+            scale=2,
+        )
+        assert sess._fused_runner is not None
+        imgs = self._imgs([(20, 24)] * 2, seeds=[6, 7])
+        batched = sess.run_batch(imgs)
+        solo = [sess.run_image(im) for im in imgs]
+        for b, s in zip(batched, solo):
+            assert b.shape == (80, 96, 3)
+            assert np.abs(b.astype(int) - s.astype(int)).max() <= 1
+
+    def test_process_tiled_batched_directory(self, tmp_path):
+        inp, out1, out2 = tmp_path / "in", tmp_path / "o1", tmp_path / "o2"
+        inp.mkdir()
+        for i in range(3):
+            _write_png(inp / f"t{i}.png", 40, 40, seed=i)
+        sess = InferenceSession(
+            osp.join(GOLDENS, "cyclegan9.pth"), arch="resnet_net",
+            presets=select_presets("resnet_net"), compute_dtype=jnp.float32,
+            tile=24, overlap=8, tile_batch=4,
+        )
+        w1 = sess.process(str(inp), str(out1), verbose=False, batch=3)
+        w2 = sess.process(str(inp), str(out2), verbose=False, batch=1)
+        assert len(w1) == len(w2) == 3
+        for i in range(3):
+            im1 = cv2.imread(str(out1 / f"t{i}.png"))
+            im2 = cv2.imread(str(out2 / f"t{i}.png"))
+            assert np.abs(im1.astype(int) - im2.astype(int)).max() <= 1
+
+
+class TestAutoBatchEstimator:
+    """--batch 0: estimator-driven group sizing (VERDICT r4 #4)."""
+
+    def _sess(self, name="unet128.pth", arch="unet_128", **kw):
+        presets = select_presets(arch)
+        return InferenceSession(
+            osp.join(GOLDENS, name), arch=arch, presets=presets,
+            compute_dtype=jnp.float32, **kw)
+
+    def test_power_of_two_within_budget(self, monkeypatch):
+        import innfer_tpu.pipeline as P
+
+        sess = self._sess()
+        monkeypatch.setattr(P.jax, "default_backend", lambda: "tpu")
+        # unet128 ngf is small; 128x128 images: estimator should allow cap
+        n = sess.auto_batch((128, 128, 3))
+        assert n == 32 and (n & (n - 1)) == 0
+        # shrink the budget: the size steps down in powers of two
+        monkeypatch.setattr(P, "_WHOLE_IMAGE_HBM_BUDGET",
+                            P._whole_forward_bytes(
+                                sess.stages[0].model, (9, 128, 128, 3)))
+        assert sess.auto_batch((128, 128, 3)) == 8
+
+    def test_env_cap(self, monkeypatch):
+        sess = self._sess()
+        monkeypatch.setenv("INNFER_MAX_BATCH", "4")
+        assert sess.auto_batch((128, 128, 3)) <= 4
+
+    def test_cg_whole_image_batch4_fenced(self, monkeypatch):
+        """Auto sizing must never pick the known-pathological batch 4 for
+        cyclegan WHOLE-IMAGE forwards (BASELINE.md XLA compile stall)."""
+        import innfer_tpu.pipeline as P
+
+        p = select_presets("resnet_net")
+        p.chop = False
+        sess = InferenceSession(
+            osp.join(GOLDENS, "cyclegan9.pth"), arch="resnet_net",
+            presets=p, compute_dtype=jnp.float32)
+        monkeypatch.setattr(P.jax, "default_backend", lambda: "tpu")
+        # force the estimator to land exactly on 4
+        monkeypatch.setattr(P, "_WHOLE_IMAGE_HBM_BUDGET",
+                            P._whole_forward_bytes(
+                                sess.stages[0].model, (5, 40, 40, 3)))
+        assert sess.auto_batch((40, 40, 3)) == 2  # bumped off 4
+        # tiled cyclegan is unaffected (the stall is whole-image-specific)
+        sess_tiled = InferenceSession(
+            osp.join(GOLDENS, "cyclegan9.pth"), arch="resnet_net",
+            presets=select_presets("resnet_net"), compute_dtype=jnp.float32)
+        assert sess_tiled._fence_cg_batch(4, explicit=False) == 4
+
+    def test_explicit_batch4_warns_not_rejected(self, caplog):
+        import logging
+
+        p = select_presets("resnet_net")
+        p.chop = False
+        sess = InferenceSession(
+            osp.join(GOLDENS, "cyclegan9.pth"), arch="resnet_net",
+            presets=p, compute_dtype=jnp.float32)
+        with caplog.at_level(logging.WARNING, logger="innfer_tpu"):
+            assert sess._fence_cg_batch(4) == 4
+        assert any("batch 4" in r.message for r in caplog.records)
+
+
+class TestEncodePool:
+    """Background PNG-encode pool: saves overlap device compute; write
+    errors must still surface (at the end-of-run drain)."""
+
+    def test_inline_and_pooled_outputs_identical(self, tmp_path, monkeypatch):
+        inp, o1, o2 = tmp_path / "in", tmp_path / "o1", tmp_path / "o2"
+        inp.mkdir()
+        for i in range(3):
+            _write_png(inp / f"p{i}.png", 20, 24, seed=i)
+        sess = InferenceSession(
+            osp.join(GOLDENS, "esrgan_x2.pth"), compute_dtype=jnp.float32,
+            tile=16, overlap=8)
+        monkeypatch.setenv("INNFER_ENCODE_THREADS", "0")
+        w1 = sess.process(str(inp), str(o1), verbose=False)
+        monkeypatch.setenv("INNFER_ENCODE_THREADS", "2")
+        w2 = sess.process(str(inp), str(o2), verbose=False)
+        assert len(w1) == len(w2) == 3
+        for i in range(3):
+            a = cv2.imread(str(o1 / f"p{i}.png"))
+            b = cv2.imread(str(o2 / f"p{i}.png"))
+            np.testing.assert_array_equal(a, b)
+
+    def test_write_error_surfaces(self, tmp_path):
+        inp = tmp_path / "in"
+        inp.mkdir()
+        _write_png(inp / "p.png", 16, 16)
+        blocker = tmp_path / "blocked"
+        blocker.write_bytes(b"")  # output 'dir' is a file -> save must fail
+        sess = InferenceSession(
+            osp.join(GOLDENS, "esrgan_x2.pth"), compute_dtype=jnp.float32,
+            tile=16, overlap=8)
+        with pytest.raises(Exception):
+            sess.process(str(inp), str(blocker / "sub"), verbose=False)
+
+    def test_timing_report_has_read_and_encode(self, tmp_path):
+        from innfer_tpu.observability import StageTimers
+
+        inp, out = tmp_path / "in", tmp_path / "out"
+        inp.mkdir()
+        _write_png(inp / "p.png", 16, 16)
+        sess = InferenceSession(
+            osp.join(GOLDENS, "esrgan_x2.pth"), compute_dtype=jnp.float32,
+            tile=16, overlap=8)
+        timers = StageTimers()
+        sess.process(str(inp), str(out), verbose=False, timers=timers)
+        rep = timers.report()
+        assert "read" in rep and "encode" in rep and "image" in rep

@@ -494,3 +494,106 @@ class TestHybrid:
         # CPU backend (the test default): stays auto
         monkeypatch.undo()
         assert r._mode_for(1080, 1920, jnp.bfloat16) == "auto"
+
+
+class TestCrossImageTileStacking:
+    """Cross-image tile stacking (engine.tiled_apply B>1): tiles from a
+    stack of same-shape images share dispatch groups.  Parity contract is
+    exact per-image equivalence with the B=1 path."""
+
+    @staticmethod
+    def _mixing_sr2(params, batch):
+        # spatially-mixing 2x "model": catches tile-order / recompose bugs
+        y = batch + 0.25 * jnp.roll(batch, 1, axis=1) \
+            + 0.125 * jnp.roll(batch, -1, axis=2)
+        return jnp.repeat(jnp.repeat(jnp.tanh(y), 2, axis=1), 2, axis=2)
+
+    @pytest.mark.parametrize("mode,hw", [
+        ("uniform", (48, 48)), ("uniform", (50, 67)), ("auto", (50, 67)),
+    ])
+    def test_batched_matches_per_image(self, mode, hw):
+        h, w = hw
+        rng = np.random.default_rng(0)
+        xs = jnp.asarray(rng.random((3, h, w, 3), np.float32))
+        runner = TiledRunner(self._mixing_sr2, 2, mode=mode,
+                             tile=32, overlap=8, tile_batch=4)
+        batched = np.asarray(runner(None, xs))
+        solo = np.concatenate(
+            [np.asarray(runner(None, xs[i:i + 1])) for i in range(3)])
+        assert batched.shape == (3, 2 * h, 2 * w, 3)
+        np.testing.assert_allclose(batched, solo, rtol=0, atol=1e-6)
+
+    def test_batched_output_index(self):
+        # multi-output models (PPON) keep the output_index selection
+        def multi(params, batch):
+            up = jnp.repeat(jnp.repeat(batch, 2, 1), 2, 2)
+            return up * 0.5, up, up * 2.0
+
+        rng = np.random.default_rng(1)
+        xs = jnp.asarray(rng.random((2, 40, 40, 3), np.float32))
+        runner = TiledRunner(multi, 2, mode="uniform", tile=24, overlap=8,
+                             output_index=2)
+        batched = np.asarray(runner(None, xs))
+        solo = np.asarray(runner(None, xs[:1]))
+        np.testing.assert_allclose(batched[:1], solo, rtol=0, atol=1e-6)
+
+    def test_batched_groups_fill_toward_cap(self):
+        """The stacked run must use LARGER dispatch groups than B=1 (the
+        amortization mechanism), bounded by max_group_px."""
+        from innfer_tpu.tiling import engine as E
+
+        seen = []
+        orig = jax.lax.map
+
+        def spy(f, xs):
+            seen.append(xs.shape)
+            return orig(f, xs)
+
+        rng = np.random.default_rng(2)
+        xs = jnp.asarray(rng.random((4, 48, 48, 3), np.float32))
+        runner = TiledRunner(self._mixing_sr2, 2, mode="uniform",
+                             tile=32, overlap=8, tile_batch=2)
+        old = E.jax.lax.map
+        E.jax.lax.map = spy
+        try:
+            runner(None, xs)          # batched: groups grow
+            runner(None, xs[:1])      # solo: engine default chunk
+        finally:
+            E.jax.lax.map = old
+        batched_chunk = seen[0][1]
+        solo_chunk = seen[1][1]
+        assert batched_chunk > solo_chunk
+        # group pixel bound holds
+        assert batched_chunk * 32 * 32 <= 1_400_000
+
+    def test_batched_mesh_shards_groups(self):
+        devs = jax.devices()[:4]
+        mesh = Mesh(np.array(devs), ("data",))
+        rng = np.random.default_rng(3)
+        xs = jnp.asarray(rng.random((2, 48, 48, 3), np.float32))
+        meshed = TiledRunner(self._mixing_sr2, 2, mode="uniform", tile=32,
+                             overlap=8, tile_batch=4, mesh=mesh)
+        plain = TiledRunner(self._mixing_sr2, 2, mode="uniform", tile=32,
+                            overlap=8, tile_batch=4)
+        np.testing.assert_allclose(np.asarray(meshed(None, xs)),
+                                   np.asarray(plain(None, xs)),
+                                   rtol=0, atol=1e-5)
+
+    def test_hybrid_batched_loops_per_image(self):
+        """Explicit hybrid mode with a stacked batch must fall back to the
+        per-image hybrid path (same outputs as solo calls)."""
+        def trunk(params, x):
+            return x + 0.5 * jnp.roll(x, 1, axis=1)
+
+        def tail(params, x):
+            return jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
+
+        rng = np.random.default_rng(4)
+        xs = jnp.asarray(rng.random((2, 40, 40, 3), np.float32))
+        runner = TiledRunner(None, 2, mode="hybrid", tile=(24, 24),
+                             overlap=8, trunk_fn=trunk, tail_fn=tail,
+                             tail_halo=2)
+        batched = np.asarray(runner(None, xs))
+        solo = np.concatenate(
+            [np.asarray(runner(None, xs[i:i + 1])) for i in range(2)])
+        np.testing.assert_allclose(batched, solo, rtol=0, atol=1e-6)
