@@ -111,13 +111,24 @@ def _run_worker(timeout_s: float) -> tuple[dict | None, str]:
 
 
 def supervise(model: str) -> int:
-    """Probe -> run -> retry-with-backoff -> last-good fallback.
+    """Probe -> run (xN, median) -> retry-with-backoff -> last-good fallback.
 
     Always prints exactly one JSON line on stdout.  Exit 1 in two cases
     (exit 0 otherwise): (a) persistent outage AND no last-good recorded,
     (b) N consecutive worker crashes under a live backend probe (a likely
     code regression — a stale last-good line, if any, is still printed but
     marked "worker_failed" and must not pass as a healthy capture).
+
+    MEDIAN PROTOCOL (VERDICT r4 weak #1): the backend swings +-25-50%
+    between time windows, so a single capture of a 0.7%-margin headline is
+    not stability evidence.  The headline config (plain ``--model esrgan``,
+    the driver invocation) defaults to the median of 3 supervised captures
+    (low-median: the reported line IS one real capture); every capture's
+    value is recorded in "samples".  Override with INNFER_BENCH_MEDIAN=N
+    (and INNFER_BENCH_MEDIAN_GAP_S to space captures across windows).  If
+    the retry window or a worker regression cuts the run short after >=1
+    success, the median of the collected samples is reported (the partial
+    "samples" list makes that visible).
     """
     probe_to = float(os.environ.get("INNFER_BENCH_PROBE_TIMEOUT", "120"))
     run_to = float(os.environ.get("INNFER_BENCH_RUN_TIMEOUT", "1800"))
@@ -125,27 +136,27 @@ def supervise(model: str) -> int:
     t0 = time.time()
     backoff = float(os.environ.get("INNFER_BENCH_BACKOFF_S", "20"))
     max_live_fails = int(os.environ.get("INNFER_BENCH_MAX_WORKER_FAILS", "3"))
+    extra = [a for a in sys.argv[1:] if a not in ("--model", model)]
+    median_n = int(os.environ.get(
+        "INNFER_BENCH_MEDIAN",
+        "3" if model == "esrgan" and not extra else "1"))
+    gap = float(os.environ.get("INNFER_BENCH_MEDIAN_GAP_S", "0"))
     attempt = 0
     live_fails = 0  # consecutive worker failures WITH a live backend probe
+    successes = []
     while True:
         attempt += 1
         alive = _probe_backend(probe_to)
         if alive:
             result, reason = _run_worker(run_to)
             if result is not None:
-                result["captured_at"] = time.strftime(
-                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-                try:
-                    os.makedirs(osp.dirname(_last_good_path(model)),
-                                exist_ok=True)
-                    with open(_last_good_path(model), "w") as f:
-                        json.dump({"argv": sys.argv[1:], **result}, f)
-                        f.write("\n")
-                except OSError:
-                    pass
-                line = {k: v for k, v in result.items() if k != "captured_at"}
-                print(json.dumps(line))
-                return 0
+                successes.append(result)
+                live_fails = 0
+                if len(successes) >= median_n:
+                    break
+                if gap:
+                    time.sleep(gap)
+                continue
             # a CRASHED worker under a LIVE probe is ambiguous on this
             # backend (the probe's tiny executable is compile-cached, so
             # a dead remote-compile helper can pass it while the real
@@ -167,6 +178,25 @@ def supervise(model: str) -> int:
             break
         time.sleep(backoff)
         backoff = min(backoff * 2, 300.0)
+    if successes:
+        vals = [s["value"] for s in successes]
+        # low-median: the reported line is one REAL capture, not an average
+        result = dict(sorted(successes,
+                             key=lambda s: s["value"])[(len(vals) - 1) // 2])
+        if median_n > 1:
+            result["samples"] = vals
+        result["captured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        try:
+            os.makedirs(osp.dirname(_last_good_path(model)), exist_ok=True)
+            with open(_last_good_path(model), "w") as f:
+                json.dump({"argv": sys.argv[1:], **result}, f)
+                f.write("\n")
+        except OSError:
+            pass
+        line = {k: v for k, v in result.items() if k != "captured_at"}
+        print(json.dumps(line))
+        return 0
     # Any unresolved crash evidence at exit counts: a slow-crashing
     # regression that burns the retry window in <max_live_fails attempts
     # must not be laundered into a soft-healthy "outage" line.
@@ -175,7 +205,8 @@ def supervise(model: str) -> int:
     try:
         with open(_last_good_path(model)) as f:
             lg = json.load(f)
-        out = {k: lg[k] for k in ("metric", "value", "unit", "vs_baseline")
+        out = {k: lg[k] for k in ("metric", "value", "unit", "vs_baseline",
+                                  "samples")
                if k in lg}
         out["last_good_at"] = lg.get("captured_at", "unknown")
         if worker_broken:

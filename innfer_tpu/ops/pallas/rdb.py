@@ -82,7 +82,19 @@ TAIL_CANON = os.environ.get("INNFER_TAIL_CANON", "none")
 # dx_slice (and hence "both") crashes the remote Mosaic compiler (HTTP
 # 500, the offset-mismatch-concat class) -> keep "roll"; the ~11.6 TF/s
 # dx cost stands until a backend rev accepts sublane-offset concats.
-DX_MODE = os.environ.get("INNFER_DX_MODE", "roll")
+def _default_dx_mode() -> str:
+    """Env override wins; else the persistent dx_slice compile-probe
+    verdict (ops/pallas/levers.py) upgrades to 'slice' when a backend rev
+    fixes the offset-mismatch-concat crash; else the safe 'roll'."""
+    env = os.environ.get("INNFER_DX_MODE")
+    if env:
+        return env
+    from innfer_tpu.ops.pallas.levers import lever_enabled
+
+    return "slice" if lever_enabled("dx_slice") else "roll"
+
+
+DX_MODE = _default_dx_mode()
 TAIL_WIDE_BF16 = os.environ.get("INNFER_TAIL_WIDE", "1") == "1"
 # Round-4 hook-sweep verdict (VERDICT r3 #6): TAIL_WIDE + TAIL_CANON stay
 # as ONE documented fallback chain, not independent experiments.  The
@@ -477,7 +489,16 @@ def _auto_block(th: int, tw: int) -> Tuple[int, int]:
     if tw % 16 == 0:
         bw = tw if tw <= MAX_BW else _wide_bw(tw)
         if bw >= 64:
-            for bh in (64, 48, 32):
+            # 96-row strips measured ~+10% (tools/out/strip_height_ab.json)
+            # but exhaust the current remote compiler's VMEM budget; the
+            # persistent strip96 probe verdict (levers.py) harvests a
+            # future compiler fix automatically.  Do NOT widen these caps
+            # without a sweep (CLAUDE.md).
+            from innfer_tpu.ops.pallas.levers import lever_enabled
+
+            heights = (96, 64, 48, 32) if lever_enabled("strip96") \
+                else (64, 48, 32)
+            for bh in heights:
                 if th % bh == 0:
                     return (bh, bw)
     return (64, 64)

@@ -574,9 +574,11 @@ class InferenceSession:
         return out_px * 24 < _WHOLE_IMAGE_HBM_BUDGET - 2 * 1024 ** 3
 
     def _group_fits(self, shape: Sequence[int], n: int) -> bool:
-        if self.presets.chop:
-            return self.batchable_tiled(shape, n)
-        return self.batchable(shape, n)
+        # mirror run_batch's path order: whole-image stacking when it
+        # fits, tiled stacking as the chop-preset mid-tier
+        if self.batchable(shape, n):
+            return True
+        return self.presets.chop and self.batchable_tiled(shape, n)
 
     def auto_batch(self, shape: Sequence[int], cap: int = 0) -> int:
         """Estimator-driven group size for ``--batch 0`` (auto): the
@@ -594,10 +596,12 @@ class InferenceSession:
 
     def _fence_cg_batch(self, n: int, explicit: bool = True) -> int:
         """CycleGAN WHOLE-IMAGE forwards at exactly batch 4 compile ~4x
-        slower, reproducibly (XLA shape pathology, BASELINE.md).  Auto
-        sizing never picks 4 for an affected session (bumps to 2); an
-        explicit --batch 4 is honored but warned about."""
-        if n != 4 or self.presets.chop:
+        slower, reproducibly (XLA shape pathology, BASELINE.md), and
+        run_batch prefers the whole-image path whenever it fits HBM —
+        so any cyclegan session at batch 4 can hit it.  Auto sizing never
+        picks 4 for an affected session (bumps to 2); an explicit
+        --batch 4 is honored but warned about."""
+        if n != 4:
             return n
         if not any(st.model.cfg.get("type") == "resnet_net"
                    for st in self.stages):
@@ -642,14 +646,21 @@ class InferenceSession:
         n_run = max(pad_to or n_real, n_real)
         same = all(im.shape == imgs[0].shape and im.dtype == imgs[0].dtype
                    for im in imgs)
-        # tiled stacking needs every stage on the jit path: spatial runners
-        # shard ONE image and host-executed TorchScript stages loop
-        # internally anyway, so both keep the per-image path
+        # Path order is measured, not aesthetic (tools/out/batch_ab.json,
+        # tile_stack_ab.json): whole-image stacking wins whenever it fits
+        # HBM (cg whole b8 38.4 vs tiled-b1 25.3 MP/s — the per-op floor
+        # amortizes best with one big dispatch); tiled stacking is the
+        # mid-tier for stacks whose whole-image activations don't fit;
+        # per-image is the fallback.  Tiled stacking needs every stage on
+        # the jit path: spatial runners shard ONE image and host-executed
+        # TorchScript stages loop internally anyway, so both keep the
+        # per-image path.
         has_ts = any(st.model.apply is None for st in self.stages)
-        tiled_ok = (self.presets.chop and not self._spatial and not has_ts
+        whole_ok = same and self.batchable(imgs[0].shape, n_run)
+        tiled_ok = (not whole_ok and self.presets.chop and not self._spatial
+                    and not has_ts
                     and same and self.batchable_tiled(imgs[0].shape, n_run))
-        if not tiled_ok and (
-                not same or not self.batchable(imgs[0].shape, n_run)):
+        if not whole_ok and not tiled_ok:
             return [self.run_image(im, already_prepared=True) for im in imgs]
         stacked = np.stack(imgs + [imgs[-1]] * (n_run - n_real))
         t_img = np2tensor(stacked, normalize=self.presets.normalize,

@@ -268,3 +268,60 @@ def test_tile_pallas_fast_wide():
     assert tile_pallas_fast(1088, 1920)       # hybrid whole-image dims
     assert not tile_pallas_fast(1080, 1920)   # rows not strip-divisible
     assert not tile_pallas_fast(1088, 1940)   # width not 16-mult
+
+
+class TestLeverProbes:
+    """Persistent compile-probe verdicts for Mosaic-blocked levers
+    (ops/pallas/levers.py): cache round-trip, default gating, env wins."""
+
+    def test_cache_roundtrip(self, tmp_path, monkeypatch):
+        from innfer_tpu.ops.pallas import levers as L
+
+        monkeypatch.setattr(L, "_CACHE_PATH", str(tmp_path / "lp.json"))
+        monkeypatch.setattr(L, "_mem", None)
+        assert not L.lever_enabled("dx_slice")
+        L.record("dx_slice", True, "test")
+        assert L.lever_enabled("dx_slice")
+        # fresh load from disk
+        monkeypatch.setattr(L, "_mem", None)
+        assert L.lever_enabled("dx_slice")
+        # verdicts are keyed by jax version+backend: a different key misses
+        import json as _json
+
+        raw = _json.loads((tmp_path / "lp.json").read_text())
+        assert all("|" in k for k in raw)
+
+    def test_auto_block_96_gated_on_lever(self, monkeypatch):
+        from innfer_tpu.ops.pallas import levers as L
+        from innfer_tpu.ops.pallas import rdb as R
+
+        monkeypatch.setattr(L, "lever_enabled", lambda n: False)
+        assert R._auto_block(96, 128)[0] in (48, 32)  # 96 % 64 != 0
+        monkeypatch.setattr(L, "lever_enabled", lambda n: n == "strip96")
+        assert R._auto_block(96, 128) == (96, 128)
+
+    def test_dx_mode_env_beats_cache(self, monkeypatch):
+        from innfer_tpu.ops.pallas import levers as L
+        from innfer_tpu.ops.pallas import rdb as R
+
+        monkeypatch.setattr(L, "lever_enabled", lambda n: True)
+        monkeypatch.setenv("INNFER_DX_MODE", "roll")
+        assert R._default_dx_mode() == "roll"
+        monkeypatch.delenv("INNFER_DX_MODE")
+        assert R._default_dx_mode() == "slice"
+
+    def test_probe_records_failure_on_exception(self, tmp_path, monkeypatch):
+        from innfer_tpu.ops.pallas import levers as L
+        from innfer_tpu.ops.pallas import rdb as R
+
+        monkeypatch.setattr(L, "_CACHE_PATH", str(tmp_path / "lp.json"))
+        monkeypatch.setattr(L, "_mem", None)
+
+        def boom(*a, **k):
+            raise RuntimeError("HTTP 500 mosaic")
+
+        monkeypatch.setattr(R, "fused_rdb", boom)
+        assert L._probe_dx_slice() is False
+        assert not L.lever_enabled("dx_slice")
+        note = L._load()[L._key("dx_slice")]["note"]
+        assert "HTTP 500" in note

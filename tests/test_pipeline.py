@@ -659,7 +659,10 @@ class TestBatchedMode:
 class TestTiledBatchedMode:
     """Cross-image tile stacking at the pipeline level (VERDICT r4 #2):
     --batch with CHOPPED presets routes the stack through the tiled
-    engine; parity contract is exact per-image equivalence."""
+    engine WHEN whole-image stacking doesn't fit HBM (run_batch path
+    order; on the CPU test mesh batchable() is always True, so these
+    tests force the tiled tier).  Parity contract is exact per-image
+    equivalence."""
 
     def _imgs(self, shapes, seeds=None):
         rng_seeds = seeds or range(len(shapes))
@@ -668,13 +671,17 @@ class TestTiledBatchedMode:
             for s, (h, w) in zip(rng_seeds, shapes)
         ]
 
-    def test_cyclegan_tiled_batch_matches_per_image(self):
+    def _force_tiled(self, sess, monkeypatch):
+        monkeypatch.setattr(sess, "batchable", lambda shape, n: False)
+
+    def test_cyclegan_tiled_batch_matches_per_image(self, monkeypatch):
         sess = InferenceSession(
             osp.join(GOLDENS, "cyclegan9.pth"), arch="resnet_net",
             presets=select_presets("resnet_net"), compute_dtype=jnp.float32,
             tile=24, overlap=8, tile_batch=4,
         )
         assert sess.presets.chop
+        self._force_tiled(sess, monkeypatch)
         imgs = self._imgs([(40, 40)] * 3, seeds=[1, 2, 3])
         batched = sess.run_batch(imgs)
         solo = [sess.run_image(im) for im in imgs]
@@ -682,11 +689,12 @@ class TestTiledBatchedMode:
             assert b.shape == s.shape
             assert np.abs(b.astype(int) - s.astype(int)).max() <= 1
 
-    def test_ppon_tiled_batch_matches_per_image(self):
+    def test_ppon_tiled_batch_matches_per_image(self, monkeypatch):
         sess = InferenceSession(
             osp.join(GOLDENS, "ppon_x4.pth"), compute_dtype=jnp.float32,
             tile=16, overlap=8, tile_batch=4,
         )
+        self._force_tiled(sess, monkeypatch)
         imgs = self._imgs([(24, 24)] * 2, seeds=[4, 5])
         batched = sess.run_batch(imgs)
         solo = [sess.run_image(im) for im in imgs]
@@ -694,7 +702,30 @@ class TestTiledBatchedMode:
             assert b.shape == (96, 96, 3)
             assert np.abs(b.astype(int) - s.astype(int)).max() <= 1
 
-    def test_fused_chain_batch_matches_per_image(self, tmp_path):
+    def test_whole_image_stacking_preferred_when_it_fits(self, monkeypatch):
+        """run_batch path order: a chop-preset stack that fits the
+        whole-image budget runs whole (the measured winner — cg whole b8
+        38.4 vs tiled 25.3 MP/s), not tiled."""
+        sess = InferenceSession(
+            osp.join(GOLDENS, "cyclegan9.pth"), arch="resnet_net",
+            presets=select_presets("resnet_net"), compute_dtype=jnp.float32,
+            tile=24, overlap=8, tile_batch=4,
+        )
+        import innfer_tpu.pipeline as P
+
+        calls = []
+        orig = P.Stage.__call__
+
+        def spy(self, x, **kw):
+            calls.append(kw.get("force_whole"))
+            return orig(self, x, **kw)
+
+        monkeypatch.setattr(P.Stage, "__call__", spy)
+        imgs = self._imgs([(40, 40)] * 2, seeds=[8, 9])
+        sess.run_batch(imgs)  # CPU: batchable() True -> whole path
+        assert calls == [True]
+
+    def test_fused_chain_batch_matches_per_image(self, tmp_path, monkeypatch):
         from innfer_tpu.checkpoint.writer import write_checkpoint
         from innfer_tpu.checkpoint.torch_pickle import load_checkpoint
 
@@ -707,6 +738,7 @@ class TestTiledBatchedMode:
             scale=2,
         )
         assert sess._fused_runner is not None
+        self._force_tiled(sess, monkeypatch)
         imgs = self._imgs([(20, 24)] * 2, seeds=[6, 7])
         batched = sess.run_batch(imgs)
         solo = [sess.run_image(im) for im in imgs]
@@ -714,7 +746,7 @@ class TestTiledBatchedMode:
             assert b.shape == (80, 96, 3)
             assert np.abs(b.astype(int) - s.astype(int)).max() <= 1
 
-    def test_process_tiled_batched_directory(self, tmp_path):
+    def test_process_tiled_batched_directory(self, tmp_path, monkeypatch):
         inp, out1, out2 = tmp_path / "in", tmp_path / "o1", tmp_path / "o2"
         inp.mkdir()
         for i in range(3):
@@ -724,6 +756,7 @@ class TestTiledBatchedMode:
             presets=select_presets("resnet_net"), compute_dtype=jnp.float32,
             tile=24, overlap=8, tile_batch=4,
         )
+        self._force_tiled(sess, monkeypatch)
         w1 = sess.process(str(inp), str(out1), verbose=False, batch=3)
         w2 = sess.process(str(inp), str(out2), verbose=False, batch=1)
         assert len(w1) == len(w2) == 3
@@ -777,11 +810,12 @@ class TestAutoBatchEstimator:
                             P._whole_forward_bytes(
                                 sess.stages[0].model, (5, 40, 40, 3)))
         assert sess.auto_batch((40, 40, 3)) == 2  # bumped off 4
-        # tiled cyclegan is unaffected (the stall is whole-image-specific)
+        # chop-preset cyclegan sessions are fenced too: run_batch prefers
+        # the whole-image path whenever the stack fits HBM
         sess_tiled = InferenceSession(
             osp.join(GOLDENS, "cyclegan9.pth"), arch="resnet_net",
             presets=select_presets("resnet_net"), compute_dtype=jnp.float32)
-        assert sess_tiled._fence_cg_batch(4, explicit=False) == 4
+        assert sess_tiled._fence_cg_batch(4, explicit=False) == 2
 
     def test_explicit_batch4_warns_not_rejected(self, caplog):
         import logging
