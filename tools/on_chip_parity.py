@@ -19,11 +19,16 @@ explanations inline):
     (adds trunk seam-blend vs whole-image differences, which are real
     but bounded; hybrid is the MORE exact of the two vs an untiled ref),
   * CycleGAN fused ResnetBlock (opt-in backend='pallas') vs XLA
-    -> PSNR >= 40 dB.
+    -> PSNR >= 40 dB,
+  * GOLDEN gate (new round 5): one small fp32 forward per arch family on
+    the chip vs the PyTorch-fp32 reference fixtures -> PSNR >= 60 dB
+    (50 for PPON's perceptual branch; see GOLDEN_ROWS) — catches a
+    backend-specific XLA lowering drift that every TPU-vs-TPU check
+    above would miss.
 
 Run at round end and BEFORE flipping any kernel-default (README: release
 gate):
-  nohup python tools/on_chip_parity.py --out ONCHIP_r04.json > /tmp/parity.log 2>&1 &
+  nohup python tools/on_chip_parity.py --out ONCHIP_r05.json > /tmp/parity.log 2>&1 &
 """
 from __future__ import annotations
 
@@ -42,6 +47,31 @@ THRESHOLDS = {
     "e2e_hybrid_vs_xla_psnr_db": 35.0,
     "cg_pallas_vs_xla_psnr_db": 40.0,
 }
+
+# On-chip GOLDEN gate (VERDICT r4 #5): one small fp32 forward per arch
+# family vs the PyTorch-fp32 reference fixture (tests/goldens/*.npz, made
+# by RUNNING the reference — tools/make_goldens.py).  The 60 dB CPU parity
+# tests never run on the chip; a backend-specific XLA lowering bug (the
+# class the Mosaic quirk list proves exists on axon) would pass every
+# kernel-vs-XLA check above while silently drifting from torch.  Tiny
+# shapes keep remote compiles cheap.  (name, threshold dB, output key,
+# output index, strict, meval-from-meta)
+GOLDEN_ROWS = [
+    ("esrgan_x4", 60.0, "output", None, True),
+    ("srresnet_x4", 60.0, "output", None, True),
+    ("pan_x4", 60.0, "output", None, True),
+    # PPON's perceptual branch integrates 3 sub-nets; its CPU fp32 parity
+    # floor is 55 dB (tests/test_model_parity_zoo.py) — gate at 50 to
+    # leave 5 dB for CPU-vs-TPU fp32 reassociation, still far above any
+    # real lowering bug (which lands <30 dB)
+    ("ppon_x4", 50.0, "output_2", 2, True),
+    ("unet128", 60.0, "output", None, True),
+    ("cyclegan9", 60.0, "output", None, False),
+    ("wbc_pt", 60.0, "output", None, True),
+    ("wbc_tf", 60.0, "output", None, True),
+]
+for _name, _thr, _, _, _ in GOLDEN_ROWS:
+    THRESHOLDS[f"golden_{_name}_psnr_db"] = _thr
 
 EXPLANATIONS = {
     "e2e_auto_vs_xla_psnr_db": (
@@ -189,6 +219,32 @@ def _measure(args, results):
     print("hybrid:", {k: v for k, v in results.items() if "hybrid" in k},
           flush=True)
 
+    # --- on-chip golden gate: fp32 forward per family vs torch fp32 -------
+    import json as _json
+    import os.path as _osp
+
+    from innfer_tpu.checkpoint.torch_pickle import load_checkpoint
+    from innfer_tpu.loader import load_model_from_state
+
+    gdir = _osp.join(_osp.dirname(_osp.abspath(__file__)), "..", "tests",
+                     "goldens")
+    for name, _thr, out_key, out_idx, strict in GOLDEN_ROWS:
+        fx = np.load(_osp.join(gdir, f"{name}.npz"))
+        meta = _json.loads(str(fx["meta"]))
+        cfg = dict(meta["cfg"])
+        if not meta.get("meval", True):
+            cfg["meval"] = False
+        state = load_checkpoint(_osp.join(gdir, f"{name}.pth"))
+        g_model, g_params = load_model_from_state(state, cfg, strict=strict)
+        gx = jnp.asarray(np.transpose(fx["input"], (0, 2, 3, 1)), jnp.float32)
+        out = jax.jit(g_model.apply)(g_params, gx)
+        if out_idx is not None:
+            out = out[out_idx]
+        out_nchw = np.transpose(np.asarray(out, np.float32), (0, 3, 1, 2))
+        results[f"golden_{name}_psnr_db"] = round(psnr(out_nchw, fx[out_key]), 1)
+    print("goldens:", {k: v for k, v in results.items() if "golden" in k},
+          flush=True)
+
     # --- CycleGAN fused ResnetBlock (ops/pallas/resnet_block.py) ----------
     cg_model, cg_params = SP.build("cyclegan", dtype=dtype, n_blocks=9,
                                    ngf=64)
@@ -217,7 +273,7 @@ def _measure(args, results):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="ONCHIP_r04.json")
+    ap.add_argument("--out", default="ONCHIP_r05.json")
     ap.add_argument("--height", type=int, default=540)
     ap.add_argument("--width", type=int, default=960)
     args = ap.parse_args()
