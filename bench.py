@@ -421,11 +421,13 @@ def main():
         desc = f"{args.scale}x SRResNet {hh}x{ww} whole-image"
     elif args.model == "chain":
         # PRODUCT path (VERDICT r2 #2): a real InferenceSession built from
-        # real checkpoint files, chained `1x+4x`, which routes through
-        # build_fused_chain by default — each tile runs both stages in one
-        # dispatch, the intermediate image is never materialized.  The
-        # step includes the full user-visible cost: host->device upload,
-        # tiled fused chain, device color-fix, device->host download.
+        # real checkpoint files, chained `1x+4x`.  Since round 5 the
+        # product default is SEQUENTIAL stage-by-stage (each stage rides
+        # the hybrid whole-image-trunk upgrade; measured 9.07 vs fused
+        # 6.2-7.5 MP/s same-window — tools/out/chain_product_ab.json).
+        # The step includes the full user-visible cost: host->device
+        # upload, both tiled/hybrid stages, device color-fix,
+        # device->host download.
         import tempfile
 
         from innfer_tpu.checkpoint.writer import write_checkpoint
@@ -443,18 +445,21 @@ def main():
             c1 + "+" + c2, compute_dtype=dtype, tile=args.tile,
             overlap=args.overlap, tile_mode=args.tile_mode,
             tile_batch=args.tile_batch)
-        assert sess._fused_runner is not None
+        assert sess._fused_runner is None  # sequential product default
         hh, ww = h // 2, w // 2  # keep chain runtime reasonable
         img = (rng.random((hh, ww, 3)) * 255).astype(np.uint8)
         x0 = np2tensor(img, dtype=dtype)
         cf = jax.jit(lambda a, b: color_fix(a * 255.0, b * 255.0))
 
         def step(t):
-            return cf(t.astype(jnp.float32),
-                      sess._fused_runner(None, t).astype(jnp.float32))
+            out = t
+            for st in sess.stages:
+                out = st(out)
+            return cf(t.astype(jnp.float32), out.astype(jnp.float32))
 
         out_mp = hh * ww * 16 / 1e6
-        desc = f"chain 1x+4x RRDB {hh}x{ww} tiled (product fused path) + color-fix"
+        desc = (f"chain 1x+4x RRDB {hh}x{ww} tiled "
+                "(product sequential path) + color-fix")
     elif args.model == "unet":
         model, params = SP.build("unet", dtype=dtype, num_downs=8, ngf=64)
         batch = args.batch or 8

@@ -40,7 +40,13 @@ def resolve_batch(batch: int, presets, spatial: bool = False) -> int:
         return 1
     if batch:
         return batch
-    return 0 if presets.resize else 1
+    # auto-batch the img2img families with measured stacking wins (pix2pix
+    # 7.4->190, wbc 27.6->45.9, cg 25->47 MP/s — batch_ab/tile_stack_ab);
+    # plain-SR families stay per-image: FLOP-bound (esrgan/pan: hybrid or
+    # big tiles already saturate) or proven flat (ppon: the 4x tail bounds
+    # dispatch groups at ~16 tiles, ppon_stack_sweep.json), and their big
+    # graphs make per-(shape,N) recompiles expensive.
+    return 0 if presets.family in ("pix2pix", "cyclegan", "wbc") else 1
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -80,16 +86,19 @@ def build_parser() -> argparse.ArgumentParser:
                    "(their resize makes every image one shape; 7.4 -> 190 "
                    "MP/s at batch 32), 1 otherwise.")
     p.add_argument("--bucket", type=int, default=0, help="Pad compile shapes to multiples.")
+    p.add_argument("--fused-chain", action="store_true",
+                   help="Opt-in tile-through-chain execution for model "
+                   "chains: ONE tile pass runs every stage (intermediate "
+                   "images never materialize).  Measured SLOWER than the "
+                   "default sequential path at the product chain config "
+                   "(tools/out/chain_product_ab.json: 6.2-7.5 vs 9.1 MP/s "
+                   "— sequential stages ride the hybrid whole-image-trunk "
+                   "upgrade), and outputs can differ near tile borders "
+                   "within the chain's combined receptive field.  Kept for "
+                   "floor-bound chains of non-hybrid models.")
     p.add_argument("--no-fused-chain", action="store_true",
-                   help="Run model chains stage-by-stage (materializing "
-                   "each intermediate image) instead of the default fused "
-                   "tile-through-chain execution.  The fused path never "
-                   "materializes intermediate images, so later stages see "
-                   "tile-local inputs: outputs can differ from the "
-                   "reference's stage-by-stage loop near tile borders "
-                   "within the chain's combined receptive field (the fused "
-                   "overlap scales with chain depth to bound this).  Use "
-                   "this flag for bit-faithful stage-by-stage parity.")
+                   help="Deprecated no-op: sequential stage-by-stage is "
+                   "the default since round 5 (see --fused-chain).")
     p.add_argument("--profile", type=str, default="",
                    help="Write a jax.profiler trace to this directory.")
     p.add_argument("--timing", action="store_true",
@@ -178,7 +187,7 @@ def main(argv=None) -> int:
         scale=args.scale,
         mesh=mesh,
         spatial=args.spatial,
-        fused_chain=False if args.no_fused_chain else None,
+        fused_chain=True if args.fused_chain else None,
     )
 
     from innfer_tpu.observability import StageTimers, profile_trace

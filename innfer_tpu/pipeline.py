@@ -66,6 +66,7 @@ class Presets:
     use_guided_filter: bool = False
     use_modcrop: bool = False
     arch: str = "infer"
+    family: str = "default"   # pix2pix | cyclegan | wbc | default
 
 
 def _has_tf_token(s: str) -> bool:
@@ -83,6 +84,7 @@ def select_presets(arch: str, models_arg: str = "", norm_flag: bool = False) -> 
         p.meval, p.strict, p.normalize = (
             PIX2PIX_EXTRAS["meval"], PIX2PIX_EXTRAS["strict"], PIX2PIX_EXTRAS["normalize"])
         p.chop = False
+        p.family = "pix2pix"
         for size in (512, 256, 128):
             if str(size) in arch:
                 p.resize = size
@@ -93,6 +95,7 @@ def select_presets(arch: str, models_arg: str = "", norm_flag: bool = False) -> 
         p.meval, p.strict, p.normalize = (
             CYCLEGAN_EXTRAS["meval"], CYCLEGAN_EXTRAS["strict"], CYCLEGAN_EXTRAS["normalize"])
         p.chop = True
+        p.family = "cyclegan"
     elif "wbc" in arch or "wbc" in models_arg:
         # the reference sniffs a bare substring ("tf" in models_arg,
         # run.py:362-371), which false-positives on any model name merely
@@ -104,6 +107,7 @@ def select_presets(arch: str, models_arg: str = "", norm_flag: bool = False) -> 
         p.chop = False
         p.use_guided_filter = True
         p.use_modcrop = True
+        p.family = "wbc"
     if norm_flag:
         p.normalize = True
     return p
@@ -427,21 +431,22 @@ class InferenceSession:
                 )
             self.stages.append(Stage(model, params, chop, runner, mesh=mesh))
 
-        # Chains default to tile-through-chain execution (one tile pass
-        # runs every stage; the intermediate image is never materialized —
-        # the reference loop at run.py:425-429 materializes every stage's
-        # full output instead).  Per-stage guided filtering (wbc) and
-        # spatial mode keep the sequential path.
+        # Chains default to SEQUENTIAL stage-by-stage execution (the
+        # reference semantics, run.py:425-429): measured same-window at
+        # the product chain config, sequential 9.07 beats the best fused
+        # tile-through-chain variant 7.51 MP/s (tools/out/
+        # chain_product_ab.json, round 5) because each sequential stage
+        # gets the hybrid whole-image-trunk upgrade the fused tile pass
+        # cannot use — and sequential never loses on memory (the final
+        # output always dominates the intermediate image it materializes).
+        # The fused path (one tile pass runs every stage; intermediates
+        # exist only at tile granularity) remains OPT-IN via
+        # fused_chain=True / --fused-chain for floor-bound chains of
+        # non-hybrid models.
         self._fused_runner = None
         has_ts = any(st.model.apply is None for st in self.stages)
         if fused_chain is None:
-            fused_chain = (
-                len(self.stages) > 1
-                and self.presets.chop
-                and not self.presets.use_guided_filter
-                and not spatial
-                and not has_ts
-            )
+            fused_chain = False
         if fused_chain and len(self.stages) > 1:
             if self.presets.use_guided_filter:
                 raise ValueError(
@@ -481,6 +486,15 @@ class InferenceSession:
                           mode: str = "uniform") -> TiledRunner:
         """Tile-through-chain execution: ONE tile pass runs every stage on
         each tile and blends once at the final scale.
+
+        OPT-IN since round 5: the same-window product A/B
+        (tools/out/chain_product_ab.json) measured sequential 9.07 MP/s vs
+        fused 6.23 (default depth-scaled overlap 32) / 7.51 (overlap 16) —
+        sequential stages ride the hybrid whole-image-trunk upgrade the
+        fused tile pass cannot.  The depth-scaled overlap default is a
+        parity bound (border contamination grows with the chain's combined
+        receptive field, ADVICE r3); callers chasing speed can pass a
+        smaller overlap and accept divergence near tile borders.
 
         Addresses the chain-memory hard part (SURVEY.md §7): a 4x+4x chain
         never materializes the 16x-pixel intermediate image — intermediates

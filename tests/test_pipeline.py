@@ -398,27 +398,30 @@ class TestFusedChain:
         # different blend spaces -> close but not identical
         assert psnr_np(fused_out, seq_out) > 25
 
-    def test_fused_chain_is_default_product_path(self, tmp_path):
-        """Chains route through build_fused_chain by DEFAULT in the product
-        session/CLI (VERDICT r2 #2: the benchmarkable fused path must be
-        the one users get from `-m a+b`)."""
+    def test_sequential_is_default_product_path(self, tmp_path):
+        """Chains run stage-by-stage by DEFAULT since round 5 (same-window
+        product A/B, tools/out/chain_product_ab.json: sequential 9.07 vs
+        best fused 7.51 MP/s — sequential stages ride the hybrid
+        whole-image-trunk upgrade); the fused path is opt-in."""
         from innfer_tpu.metrics import psnr_np
 
         chain = osp.join(GOLDENS, "esrgan_x2.pth") + "+" + osp.join(GOLDENS, "esrgan_x4.pth")
         sess = InferenceSession(chain, compute_dtype=jnp.float32, tile=16,
                                 overlap=8, tile_batch=4)
-        assert sess._fused_runner is not None
+        assert sess._fused_runner is None
         img = np.random.default_rng(5).integers(0, 256, (24, 32, 3), dtype=np.uint8)
-        fused_out = sess.run_image(img)
+        seq_out = sess.run_image(img)
 
-        seq = InferenceSession(chain, compute_dtype=jnp.float32, tile=16,
-                               overlap=8, tile_batch=4, fused_chain=False)
-        seq_out = seq.run_image(img)
+        fused = InferenceSession(chain, compute_dtype=jnp.float32, tile=16,
+                                 overlap=8, tile_batch=4, fused_chain=True)
+        assert fused._fused_runner is not None
+        fused_out = fused.run_image(img)
         assert fused_out.shape == seq_out.shape
         assert psnr_np(fused_out, seq_out) > 25
 
-    def test_cli_no_fused_chain_flag(self, tmp_path):
-        """CLI parity: `-m a+b` (fused default) vs --no-fused-chain."""
+    def test_cli_fused_chain_flag(self, tmp_path):
+        """CLI parity: `-m a+b` (sequential default) vs --fused-chain
+        opt-in; --no-fused-chain stays accepted as a no-op."""
         from innfer_tpu import cli
         from innfer_tpu.metrics import psnr_np
 
@@ -432,7 +435,7 @@ class TestFusedChain:
                   "--tile-mode", "uniform"]
         out_f = tmp_path / "fused"
         out_s = tmp_path / "seq"
-        assert cli.main(common + ["-o", str(out_f)]) == 0
+        assert cli.main(common + ["-o", str(out_f), "--fused-chain"]) == 0
         assert cli.main(common + ["-o", str(out_s), "--no-fused-chain"]) == 0
         a = cv2.imread(str(out_f / "a.png"))
         b = cv2.imread(str(out_s / "a.png"))
@@ -735,7 +738,7 @@ class TestTiledBatchedMode:
         sess = InferenceSession(
             c1 + "+" + osp.join(GOLDENS, "esrgan_x2.pth"),
             compute_dtype=jnp.float32, tile=16, overlap=8, tile_batch=4,
-            scale=2,
+            scale=2, fused_chain=True,
         )
         assert sess._fused_runner is not None
         self._force_tiled(sess, monkeypatch)
@@ -877,3 +880,20 @@ class TestEncodePool:
         sess.process(str(inp), str(out), verbose=False, timers=timers)
         rep = timers.report()
         assert "read" in rep and "encode" in rep and "image" in rep
+
+
+class TestAutoBatchFamilies:
+    """resolve_batch auto (--batch 0/default): the img2img families with
+    measured stacking wins go auto; plain-SR stays per-image."""
+
+    def test_families(self):
+        from innfer_tpu.cli import resolve_batch
+
+        assert select_presets("unet_128").family == "pix2pix"
+        assert select_presets("resnet_9blocks").family == "cyclegan"
+        assert select_presets("infer", models_arg="wbc_x.pth").family == "wbc"
+        assert select_presets("infer").family == "default"
+        assert resolve_batch(0, select_presets("resnet_9blocks")) == 0
+        assert resolve_batch(0, select_presets("infer",
+                                               models_arg="wbc_x.pth")) == 0
+        assert resolve_batch(0, select_presets("infer")) == 1
