@@ -377,16 +377,25 @@ def main():
                 base[..., None] + rng.normal(0, 12, (h, w, 3))
                 + 20 * np.sin((xx + 57 * i) / 11.0)[..., None], 0, 255)
             iio.save_img(img.astype(np.uint8), osp.join(inp, f"i{i:03d}.png"))
+        from innfer_tpu.observability import StageTimers
+
         sess = InferenceSession(
             ckpt, compute_dtype=dtype, tile=args.tile, overlap=args.overlap,
             tile_mode=args.tile_mode, tile_batch=args.tile_batch)
         batch = args.batch or 1
         sess.process(inp, outp, verbose=False, batch=batch)  # compile pass
+        timers = StageTimers()
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            sess.process(inp, outp, verbose=False, batch=batch)
+            sess.process(inp, outp, verbose=False, batch=batch,
+                         timers=timers)
         dt = time.perf_counter() - t0
         mps = n_imgs * args.iters * h * w * args.scale ** 2 / 1e6 / dt
+        # stage attribution: "image"/"batch" is DISPATCH only (async);
+        # "fetch" (pool) carries device execution + device->host transfer;
+        # "encode"/"read" are host codec time.  Totals overlap in wall
+        # time — they diagnose the bottleneck, they don't sum to dt.
+        stages = {k: v["total_s"] for k, v in timers.report().items()}
         print(json.dumps({
             "metric": (f"END-TO-END output megapixels/sec/chip incl. disk "
                        f"read + PNG encode, {args.scale}x {fam} {h}x{w} "
@@ -396,6 +405,8 @@ def main():
             "value": round(mps, 3),
             "unit": "MP/s",
             "vs_baseline": round(mps / 20.0, 3),
+            "wall_s": round(dt, 2),
+            "stages": stages,
         }))
         return
 

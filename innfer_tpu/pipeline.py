@@ -532,8 +532,15 @@ class InferenceSession:
             img = iio.modcrop(img, 4)
         return img
 
-    def run_image(self, img: np.ndarray, *, already_prepared: bool = False) -> np.ndarray:
-        """Full per-image pipeline: prepare -> chain -> uint8 BGR out."""
+    def run_image(self, img: np.ndarray, *, already_prepared: bool = False,
+                  device_out: bool = False):
+        """Full per-image pipeline: prepare -> chain -> uint8 BGR out.
+
+        ``device_out=True`` returns the raw device array WITHOUT the
+        device->host fetch (tensor2np): process() hands that fetch to the
+        background encode pool so the (tunnel-expensive) transfer of full
+        SR outputs overlaps the next image's device compute.
+        """
         if not already_prepared:
             img = self.prepare(img)
         t_img = np2tensor(img, normalize=self.presets.normalize,
@@ -546,6 +553,8 @@ class InferenceSession:
                 t_out = stage(t_out)
                 if self.presets.use_guided_filter:
                     t_out = guided_filter(t_img, t_out, r=1, eps=5e-3)
+        if device_out:
+            return t_out
         return tensor2np(t_out, denormalize=self.presets.normalize)
 
     def batchable(self, shape: Sequence[int], n: int) -> bool:
@@ -751,23 +760,23 @@ class InferenceSession:
         enc_pool = ThreadPoolExecutor(max_workers=n_enc) if n_enc > 0 else None
         enc_futures = []
 
-        def _save(out, dst, img_in):
+        def _finalize(out, dst, img_in, name, image_path):
+            """Pool task: fetch (device outputs) -> color-fix -> encode ->
+            metrics.  Running the device->host transfer here — not on the
+            main loop — lets the (tunnel-expensive) fetch of full SR
+            outputs overlap the next image's device compute."""
+            if not isinstance(out, np.ndarray):
+                ctx = timers.stage("fetch") if timers else _nullctx()
+                with ctx:
+                    out = tensor2np(out, denormalize=self.presets.normalize)
+            if use_color_fix:
+                out = np.asarray(color_fix(jnp.asarray(img_in), jnp.asarray(out)))
             ctx = timers.stage("encode") if timers else _nullctx()
             with ctx:
                 if comp:
                     iio.save_img_comp([img_in, out], dst)
                 else:
                     iio.save_img(out, dst)
-
-        def finish(name, image_path, img_in, out):
-            if use_color_fix:
-                out = np.asarray(color_fix(jnp.asarray(img_in), jnp.asarray(out)))
-            dst = osp.join(output_dir, f"{name}.png")
-            if enc_pool is not None:
-                enc_futures.append(enc_pool.submit(_save, out, dst, img_in))
-            else:
-                _save(out, dst, img_in)
-            written.append(dst)
             if metrics_dir:
                 gt = _find_reference(metrics_dir, name)
                 if gt is not None:
@@ -785,6 +794,19 @@ class InferenceSession:
                         print(f"  metrics {name}: PSNR {row['psnr']} dB, SSIM {row['ssim']}")
             if verbose:
                 print(f"{image_path} -> {dst} {out.shape[1]}x{out.shape[0]}")
+
+        def finish(name, image_path, img_in, out):
+            dst = osp.join(output_dir, f"{name}.png")
+            written.append(dst)
+            if enc_pool is None:
+                _finalize(out, dst, img_in, name, image_path)
+                return
+            # backpressure: each queued device output pins ~HBM + host RAM
+            # for a full SR image — bound the in-flight finalizes
+            while len(enc_futures) >= max(4, 2 * n_enc):
+                enc_futures.pop(0).result()
+            enc_futures.append(
+                enc_pool.submit(_finalize, out, dst, img_in, name, image_path))
 
         seen_full = set()  # shape keys that compiled a full-batch forward
         targets = {}       # shape key -> resolved group size
@@ -848,7 +870,8 @@ class InferenceSession:
                 continue
             ctx = timers.stage("image") if timers else _nullctx()
             with ctx:
-                out = self.run_image(img_in, already_prepared=True)
+                out = self.run_image(img_in, already_prepared=True,
+                                     device_out=enc_pool is not None)
             finish(name, image_path, img_in, out)
         for key, group in pending.items():
             if group:

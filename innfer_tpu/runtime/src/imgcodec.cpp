@@ -277,6 +277,15 @@ int encode_png(const char* path, const uint8_t* data, int h, int w, int c,
   png_set_IHDR(png, info, w, h, 8, color_type, PNG_INTERLACE_NONE,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_set_compression_level(png, compression_level);
+  if (compression_level <= 1) {
+    // fast path: adaptive row filtering dominates encode time at low
+    // zlib levels (~1 s for a 4K frame on one core); NONE + RLE is the
+    // standard fast-PNG recipe (what fpng/Qt "fast" modes do) and cuts
+    // that several-fold for a modest size increase.  Levels >= 2 keep
+    // libpng's adaptive filter heuristic (caller asked for density).
+    png_set_filter(png, 0, PNG_FILTER_NONE);
+    png_set_compression_strategy(png, 3 /* Z_RLE */);
+  }
   png_write_info(png, info);
   if (c >= 3) png_set_bgr(png);  // buffers are BGR like cv2
 
