@@ -181,7 +181,11 @@ def np2tensor(img: np.ndarray, *, normalize: bool = False, dtype=jnp.float32) ->
     if img.ndim == 2:
         img = img[:, :, None]
     maxval = iio.MAX_VALUES_BY_DTYPE.get(img.dtype, 1.0)
-    x = jnp.asarray(img, dtype=jnp.float32) / maxval
+    # upload in the SOURCE dtype (uint8/uint16) and scale on device: the
+    # tunneled host<->device link is the product loop's bottleneck
+    # (bench e2e stage attribution), and a host-side float32 conversion
+    # would quadruple the upload bytes
+    x = jnp.asarray(img).astype(jnp.float32) / maxval
     c = x.shape[-1]
     if c % 3 == 0:
         x = colors.bgr_to_rgb(x)
@@ -190,6 +194,45 @@ def np2tensor(img: np.ndarray, *, normalize: bool = False, dtype=jnp.float32) ->
     if normalize:
         x = colors.norm(x)
     return (x if batched else x[None]).astype(dtype)
+
+
+# device->host transfers below this size aren't worth splitting (stream
+# setup overhead dominates); above it, parallel row-band streams roughly
+# DOUBLE the tunneled link's throughput (~18 MB/s one stream, ~35-40 at
+# >=4 concurrent — tools/link_probe.py / tools/out/link_probe.json)
+_FETCH_SPLIT_BYTES = 32 * 1024 ** 2
+_fetch_pool = None
+
+
+def fetch_np(x) -> np.ndarray:
+    """Device->host transfer, chunked into parallel band streams.
+
+    Large arrays (full SR outputs: a 4x-upscaled 1080p frame is ~100 MB
+    even as uint8) are split along axis 0 into INNFER_FETCH_WAYS bands
+    (default 8, 1 = plain ``np.asarray``) fetched on a shared thread
+    pool; concurrent _finalize fetches share the same pool so the link
+    sees a bounded stream count.  Small arrays pass straight through.
+    """
+    if isinstance(x, np.ndarray):
+        return x
+    ways = int(os.environ.get("INNFER_FETCH_WAYS", "8"))
+    nbytes = x.size * x.dtype.itemsize
+    if ways <= 1 or x.ndim == 0 or nbytes < _FETCH_SPLIT_BYTES:
+        return np.asarray(x)
+    ways = min(ways, x.shape[0])
+    band = -(-x.shape[0] // ways)
+    slabs = [x[i * band:(i + 1) * band] for i in range(ways)
+             if i * band < x.shape[0]]
+    global _fetch_pool
+    if _fetch_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _fetch_pool = ThreadPoolExecutor(
+            max_workers=ways, thread_name_prefix="innfer-fetch")
+    out = np.empty(x.shape, x.dtype)
+    for i, part in enumerate(_fetch_pool.map(np.asarray, slabs)):
+        out[i * band:i * band + part.shape[0]] = part
+    return out
 
 
 def tensor2np(x: jax.Array, *, denormalize: bool = False,
@@ -206,8 +249,11 @@ def tensor2np(x: jax.Array, *, denormalize: bool = False,
         x = colors.rgba_to_bgra(x)
     if denormalize:
         x = colors.denorm(x)
-    x = jnp.round(jnp.clip(255.0 * x, 0, 255))
-    return np.asarray(x).astype(np.uint8)
+    # round/clip AND cast to uint8 on device: fetching float32 would move
+    # 4x the bytes over the (bottleneck) tunneled link — 400 MB vs 100 MB
+    # for one 4x-upscaled 1080p output
+    x = jnp.round(jnp.clip(255.0 * x, 0, 255)).astype(jnp.uint8)
+    return fetch_np(x)
 
 
 # ---------------------------------------------------------------------------
@@ -770,7 +816,7 @@ class InferenceSession:
                 with ctx:
                     out = tensor2np(out, denormalize=self.presets.normalize)
             if use_color_fix:
-                out = np.asarray(color_fix(jnp.asarray(img_in), jnp.asarray(out)))
+                out = fetch_np(color_fix(jnp.asarray(img_in), jnp.asarray(out)))
             ctx = timers.stage("encode") if timers else _nullctx()
             with ctx:
                 if comp:

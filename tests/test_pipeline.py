@@ -100,6 +100,22 @@ class TestConversions:
         t = np2tensor(img)
         assert t.shape == (1, 8, 8, 1)
 
+    def test_fetch_np_chunked_matches_plain(self, rng, monkeypatch):
+        # force the chunked path by dropping the split threshold so a
+        # small array exercises band slicing + pool reassembly
+        from innfer_tpu import pipeline as P
+
+        x = jnp.asarray(rng.integers(0, 256, (37, 19, 3), dtype=np.uint8))
+        monkeypatch.setattr(P, "_FETCH_SPLIT_BYTES", 1)
+        monkeypatch.setenv("INNFER_FETCH_WAYS", "8")
+        np.testing.assert_array_equal(P.fetch_np(x), np.asarray(x))
+        # more ways than rows: clamps to shape[0]
+        monkeypatch.setenv("INNFER_FETCH_WAYS", "64")
+        np.testing.assert_array_equal(P.fetch_np(x), np.asarray(x))
+        # ways=1 short-circuits
+        monkeypatch.setenv("INNFER_FETCH_WAYS", "1")
+        np.testing.assert_array_equal(P.fetch_np(x), np.asarray(x))
+
 
 def _write_png(path, h, w, seed=0):
     img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
