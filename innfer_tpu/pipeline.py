@@ -223,23 +223,30 @@ def fetch_np(x) -> np.ndarray:
     band = -(-x.shape[0] // ways)
     slabs = [x[i * band:(i + 1) * band] for i in range(ways)
              if i * band < x.shape[0]]
+    out = np.empty(x.shape, x.dtype)
+    for i, part in enumerate(_get_fetch_pool().map(np.asarray, slabs)):
+        out[i * band:i * band + part.shape[0]] = part
+    return out
+
+
+def _get_fetch_pool():
     global _fetch_pool
     if _fetch_pool is None:
         from concurrent.futures import ThreadPoolExecutor
 
         _fetch_pool = ThreadPoolExecutor(
-            max_workers=ways, thread_name_prefix="innfer-fetch")
-    out = np.empty(x.shape, x.dtype)
-    for i, part in enumerate(_fetch_pool.map(np.asarray, slabs)):
-        out[i * band:i * band + part.shape[0]] = part
-    return out
+            max_workers=int(os.environ.get("INNFER_FETCH_WAYS", "8")),
+            thread_name_prefix="innfer-fetch")
+    return _fetch_pool
 
 
-def tensor2np(x: jax.Array, *, denormalize: bool = False,
-              batched: bool = False) -> np.ndarray:
-    """(1, H, W, C) RGB float -> HWC BGR uint8 numpy (utils.py:197-248).
+def _postprocess_u8(x: jax.Array, *, denormalize: bool = False,
+                    batched: bool = False) -> jax.Array:
+    """Device-side half of tensor2np: RGB float -> BGR uint8, no fetch.
 
-    ``batched=True`` keeps the leading batch axis: (N,H,W,C) -> (N,H,W,C).
+    Rounds/clips AND casts to uint8 on device: fetching float32 would
+    move 4x the bytes over the (bottleneck) tunneled link — 400 MB vs
+    100 MB for one 4x-upscaled 1080p output.
     """
     x = x.astype(jnp.float32) if batched else x[0].astype(jnp.float32)
     c = x.shape[-1]
@@ -249,11 +256,55 @@ def tensor2np(x: jax.Array, *, denormalize: bool = False,
         x = colors.rgba_to_bgra(x)
     if denormalize:
         x = colors.denorm(x)
-    # round/clip AND cast to uint8 on device: fetching float32 would move
-    # 4x the bytes over the (bottleneck) tunneled link — 400 MB vs 100 MB
-    # for one 4x-upscaled 1080p output
-    x = jnp.round(jnp.clip(255.0 * x, 0, 255)).astype(jnp.uint8)
-    return fetch_np(x)
+    return jnp.round(jnp.clip(255.0 * x, 0, 255)).astype(jnp.uint8)
+
+
+def tensor2np(x: jax.Array, *, denormalize: bool = False,
+              batched: bool = False) -> np.ndarray:
+    """(1, H, W, C) RGB float -> HWC BGR uint8 numpy (utils.py:197-248).
+
+    ``batched=True`` keeps the leading batch axis: (N,H,W,C) -> (N,H,W,C).
+    """
+    return fetch_np(_postprocess_u8(x, denormalize=denormalize,
+                                    batched=batched))
+
+
+class DeviceBands:
+    """A postprocessed uint8 output, pre-sliced into fetch bands at
+    DISPATCH time.
+
+    The product loop hands finished outputs to a background pool for the
+    (tunnel-expensive) device->host transfer.  If the pool thread also
+    dispatched the u8 cast / band slices, those device ops would queue
+    BEHIND every later image's forwards already dispatched by the main
+    loop — each fetch then stalls on unrelated compute (measured: the
+    e2e fetch stage ran ~3x slower than the link probe's stream rate).
+    Slicing here, on the main loop right after the forward, keeps device
+    order aligned with consumption order; ``fetch()`` is pure transfer.
+    """
+
+    def __init__(self, x_u8: jax.Array):
+        ways = int(os.environ.get("INNFER_FETCH_WAYS", "8"))
+        nbytes = x_u8.size * x_u8.dtype.itemsize
+        if ways <= 1 or nbytes < _FETCH_SPLIT_BYTES:
+            self.bands = [x_u8]
+            self.band_h = x_u8.shape[0]
+        else:
+            ways = min(ways, x_u8.shape[0])
+            self.band_h = -(-x_u8.shape[0] // ways)
+            self.bands = [x_u8[i * self.band_h:(i + 1) * self.band_h]
+                          for i in range(ways)
+                          if i * self.band_h < x_u8.shape[0]]
+        self.shape, self.dtype = x_u8.shape, x_u8.dtype
+
+    def fetch(self) -> np.ndarray:
+        if len(self.bands) == 1:
+            return np.asarray(self.bands[0])
+        pool = _get_fetch_pool()
+        out = np.empty(self.shape, self.dtype)
+        for i, part in enumerate(pool.map(np.asarray, self.bands)):
+            out[i * self.band_h:i * self.band_h + part.shape[0]] = part
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -582,10 +633,12 @@ class InferenceSession:
                   device_out: bool = False):
         """Full per-image pipeline: prepare -> chain -> uint8 BGR out.
 
-        ``device_out=True`` returns the raw device array WITHOUT the
-        device->host fetch (tensor2np): process() hands that fetch to the
-        background encode pool so the (tunnel-expensive) transfer of full
-        SR outputs overlaps the next image's device compute.
+        ``device_out=True`` returns a DeviceBands — the postprocessed u8
+        output pre-sliced into fetch bands at dispatch time — WITHOUT the
+        device->host fetch: process() hands the transfer to the
+        background encode pool so it overlaps the next image's device
+        compute, while the postprocess ops stay in dispatch order (see
+        DeviceBands docstring).
         """
         if not already_prepared:
             img = self.prepare(img)
@@ -600,7 +653,8 @@ class InferenceSession:
                 if self.presets.use_guided_filter:
                     t_out = guided_filter(t_img, t_out, r=1, eps=5e-3)
         if device_out:
-            return t_out
+            return DeviceBands(_postprocess_u8(
+                t_out, denormalize=self.presets.normalize))
         return tensor2np(t_out, denormalize=self.presets.normalize)
 
     def batchable(self, shape: Sequence[int], n: int) -> bool:
@@ -811,7 +865,11 @@ class InferenceSession:
             metrics.  Running the device->host transfer here — not on the
             main loop — lets the (tunnel-expensive) fetch of full SR
             outputs overlap the next image's device compute."""
-            if not isinstance(out, np.ndarray):
+            if isinstance(out, DeviceBands):
+                ctx = timers.stage("fetch") if timers else _nullctx()
+                with ctx:
+                    out = out.fetch()
+            elif not isinstance(out, np.ndarray):
                 ctx = timers.stage("fetch") if timers else _nullctx()
                 with ctx:
                     out = tensor2np(out, denormalize=self.presets.normalize)

@@ -100,6 +100,18 @@ class TestConversions:
         t = np2tensor(img)
         assert t.shape == (1, 8, 8, 1)
 
+    def test_device_bands_matches_plain(self, rng, monkeypatch):
+        # DeviceBands pre-slices the postprocessed u8 output at dispatch
+        # time; assembled fetch must equal the direct tensor2np result
+        from innfer_tpu import pipeline as P
+
+        t = jnp.asarray(rng.random((1, 23, 17, 3), np.float32))
+        monkeypatch.setattr(P, "_FETCH_SPLIT_BYTES", 1)
+        monkeypatch.setenv("INNFER_FETCH_WAYS", "4")
+        banded = P.DeviceBands(P._postprocess_u8(t))
+        assert len(banded.bands) == 4
+        np.testing.assert_array_equal(banded.fetch(), tensor2np(t))
+
     def test_fetch_np_chunked_matches_plain(self, rng, monkeypatch):
         # force the chunked path by dropping the split threshold so a
         # small array exercises band slicing + pool reassembly
