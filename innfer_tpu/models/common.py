@@ -89,7 +89,8 @@ def collapse_upconv_weight(w: jax.Array, b, factor: int):
     s = jnp.asarray(sel, jnp.float32)
     # (p,q,i,o,a,b) -> reshape collapses (o,a,b) into o*r^2 + a*r + b,
     # exactly PixelShuffle's channel order
-    w2 = jnp.einsum("apd,bqe,deio->pqioab", s, s, w.astype(jnp.float32))
+    w2 = jnp.einsum("apd,bqe,deio->pqioab", s, s, w.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
     w2 = w2.reshape(3, 3, cin, cout * r * r).astype(w.dtype)
     b2 = None if b is None else jnp.repeat(b, r * r)
     return w2, b2

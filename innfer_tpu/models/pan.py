@@ -60,9 +60,11 @@ def _fsa(params, x, prefix: str, *, poolsize: int = 4):
     f = F.dense(flat, params[f"{prefix}.conv_f.weight"], params[f"{prefix}.conv_f.bias"])
     g = F.dense(flat, params[f"{prefix}.conv_g.weight"], params[f"{prefix}.conv_g.bias"])
     h = F.dense(flat, params[f"{prefix}.conv_h.weight"], params[f"{prefix}.conv_h.bias"])
-    s = jnp.einsum("bnc,bmc->bnm", f, g, preferred_element_type=jnp.float32)
+    s = jnp.einsum("bnc,bmc->bnm", f, g, preferred_element_type=jnp.float32,
+                   precision=F._mm_precision(x.dtype))
     att = F.softmax(s, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bnm,bmc->bnc", att, h, preferred_element_type=jnp.float32).astype(x.dtype)
+    out = jnp.einsum("bnm,bmc->bnc", att, h, preferred_element_type=jnp.float32,
+                     precision=F._mm_precision(x.dtype)).astype(x.dtype)
     out = out.reshape(bsz, ph, pw, cc)
     out = R.interpolate(out, size=(hh, ww), mode="bicubic", align_corners=False)
     gamma = params[f"{prefix}.gamma"].astype(jnp.float32)

@@ -93,7 +93,8 @@ def phase_kernels(w: Array, r: int = 2):
             sc = jnp.asarray(sel[c, :, :kc, :])
             # (p,k,d) x (q,l,e) x (d,e,i,o) -> (k,l,p,q,i,o); flatten
             # (p,q,i) phase-major to match the P channel layout
-            kab = jnp.einsum("pkd,qle,deio->klpqio", sa, sc, wf)
+            kab = jnp.einsum("pkd,qle,deio->klpqio", sa, sc, wf,
+                             precision=jax.lax.Precision.HIGHEST)
             kab = kab.reshape(ka, kc, r * r * cin, cout).astype(w.dtype)
             pad = ((-alo, ahi), (-clo, chi))
             out.append((kab, pad))
@@ -128,7 +129,8 @@ def phase_conv3x3_dense(p: Array, w: Array, b: Optional[Array] = None,
         for d, dy in enumerate((-1, 0, 1)):
             sel[a, (a + dy) % r, (a + dy) // r + 1, d] = 1.0
     s = jnp.asarray(sel)
-    kd = jnp.einsum("apkd,cqle,deio->klpqiaco", s, s, w.astype(jnp.float32))
+    kd = jnp.einsum("apkd,cqle,deio->klpqiaco", s, s, w.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
     kd = kd.reshape(3, 3, r * r * cin, r * r * cout).astype(w.dtype)
     return F.conv2d(p, kd, phase_bias(b, r), padding=1)
 

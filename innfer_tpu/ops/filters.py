@@ -50,6 +50,7 @@ def filter2d(x: Array, kernel: Array, border: str = "reflect",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
         preferred_element_type=jnp.float32,
+        precision=F._mm_precision(x.dtype),
     ).astype(x.dtype)
 
 
