@@ -396,7 +396,7 @@ def main():
         # "encode"/"read" are host codec time.  Totals overlap in wall
         # time — they diagnose the bottleneck, they don't sum to dt.
         stages = {k: v["total_s"] for k, v in timers.report().items()}
-        print(json.dumps({
+        result = {
             "metric": (f"END-TO-END output megapixels/sec/chip incl. disk "
                        f"read + PNG encode, {args.scale}x {fam} {h}x{w} "
                        f"x{n_imgs} images"
@@ -407,7 +407,15 @@ def main():
             "vs_baseline": round(mps / 20.0, 3),
             "wall_s": round(dt, 2),
             "stages": stages,
-        }))
+        }
+        if stages.get("fetch"):
+            # implied device->host link rate for the u8 outputs: e2e is
+            # TUNNEL-bound on this backend (BASELINE.md), so this one
+            # number says whether a capture landed in a degraded window
+            # (healthy parallel-fetch rate is ~35-40 MB/s — link_probe)
+            out_mb = n_imgs * args.iters * h * w * args.scale ** 2 * 3 / 1e6
+            result["fetch_mb_s"] = round(out_mb / stages["fetch"], 1)
+        print(json.dumps(result))
         return
 
     how = "whole-image" if args.tile_mode == "none" else "tiled"

@@ -94,7 +94,22 @@ def _default_dx_mode() -> str:
     return "slice" if lever_enabled("dx_slice") else "roll"
 
 
-DX_MODE = _default_dx_mode()
+# Resolved LAZILY at first kernel trace: _default_dx_mode consults the
+# persistent lever cache, which keys on jax.default_backend() — resolving
+# at import would initialize the JAX backend as an import side effect
+# (hangs on a downed tunnel; locks the platform before a CPU-forcing
+# script's jax.config.update).  Tests/tools may still set R.DX_MODE
+# directly; a non-None value always wins.
+DX_MODE: "str | None" = None
+
+
+def _dx_mode() -> str:
+    global DX_MODE
+    if DX_MODE is None:
+        DX_MODE = _default_dx_mode()
+    return DX_MODE
+
+
 TAIL_WIDE_BF16 = os.environ.get("INNFER_TAIL_WIDE", "1") == "1"
 # Round-4 hook-sweep verdict (VERDICT r3 #6): TAIL_WIDE + TAIL_CANON stay
 # as ONE documented fallback chain, not independent experiments.  The
@@ -145,7 +160,7 @@ def _shift_rows(v: jax.Array, k: int) -> jax.Array:
     """
     if k == 0:
         return v
-    if k % 16 == 0 or DX_MODE == "slice":
+    if k % 16 == 0 or _dx_mode() == "slice":
         z = jnp.zeros((abs(k), v.shape[1]), v.dtype)
         if k > 0:
             return jnp.concatenate([v[k:], z], axis=0)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
+import threading
 from dataclasses import dataclass
 from typing import Any, List, Optional, Sequence, Tuple
 
@@ -197,11 +198,14 @@ def np2tensor(img: np.ndarray, *, normalize: bool = False, dtype=jnp.float32) ->
 
 
 # device->host transfers below this size aren't worth splitting (stream
-# setup overhead dominates); above it, parallel row-band streams roughly
-# DOUBLE the tunneled link's throughput (~18 MB/s one stream, ~35-40 at
-# >=4 concurrent — tools/link_probe.py / tools/out/link_probe.json)
+# setup overhead dominates); above it, parallel row-band streams lift the
+# tunneled link's throughput — the gain is WINDOW-dependent (~15-17 MB/s
+# one stream vs ~20-24 at 8-16 streams in a weak window; an earlier
+# healthier window measured ~35-40 multiway) and never negative
+# (tools/link_probe.py / tools/out/link_probe.json)
 _FETCH_SPLIT_BYTES = 32 * 1024 ** 2
 _fetch_pool = None
+_fetch_pool_lock = threading.Lock()
 
 
 def fetch_np(x) -> np.ndarray:
@@ -212,31 +216,24 @@ def fetch_np(x) -> np.ndarray:
     (default 8, 1 = plain ``np.asarray``) fetched on a shared thread
     pool; concurrent _finalize fetches share the same pool so the link
     sees a bounded stream count.  Small arrays pass straight through.
+    Band math lives in DeviceBands — this is the fetch-now spelling.
     """
     if isinstance(x, np.ndarray):
         return x
-    ways = int(os.environ.get("INNFER_FETCH_WAYS", "8"))
-    nbytes = x.size * x.dtype.itemsize
-    if ways <= 1 or x.ndim == 0 or nbytes < _FETCH_SPLIT_BYTES:
+    if x.ndim == 0:
         return np.asarray(x)
-    ways = min(ways, x.shape[0])
-    band = -(-x.shape[0] // ways)
-    slabs = [x[i * band:(i + 1) * band] for i in range(ways)
-             if i * band < x.shape[0]]
-    out = np.empty(x.shape, x.dtype)
-    for i, part in enumerate(_get_fetch_pool().map(np.asarray, slabs)):
-        out[i * band:i * band + part.shape[0]] = part
-    return out
+    return DeviceBands(x).fetch()
 
 
 def _get_fetch_pool():
     global _fetch_pool
-    if _fetch_pool is None:
-        from concurrent.futures import ThreadPoolExecutor
+    with _fetch_pool_lock:
+        if _fetch_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
 
-        _fetch_pool = ThreadPoolExecutor(
-            max_workers=int(os.environ.get("INNFER_FETCH_WAYS", "8")),
-            thread_name_prefix="innfer-fetch")
+            _fetch_pool = ThreadPoolExecutor(
+                max_workers=int(os.environ.get("INNFER_FETCH_WAYS", "8")),
+                thread_name_prefix="innfer-fetch")
     return _fetch_pool
 
 
@@ -630,7 +627,7 @@ class InferenceSession:
         return img
 
     def run_image(self, img: np.ndarray, *, already_prepared: bool = False,
-                  device_out: bool = False):
+                  device_out: bool = False, color_ref: Optional[np.ndarray] = None):
         """Full per-image pipeline: prepare -> chain -> uint8 BGR out.
 
         ``device_out=True`` returns a DeviceBands — the postprocessed u8
@@ -639,6 +636,13 @@ class InferenceSession:
         background encode pool so it overlaps the next image's device
         compute, while the postprocess ops stay in dispatch order (see
         DeviceBands docstring).
+
+        ``color_ref`` applies color_fix ON DEVICE against the given
+        (prepared, host uint8 BGR) input image, before any fetch: the
+        host-side spelling would fetch the ~100 MB SR output, re-upload
+        it over the (bottleneck) tunneled link and dispatch from off the
+        main loop — uploading the small pre-SR input instead is ~16x
+        fewer transfer bytes at 4x scale and keeps dispatch order.
         """
         if not already_prepared:
             img = self.prepare(img)
@@ -652,10 +656,12 @@ class InferenceSession:
                 t_out = stage(t_out)
                 if self.presets.use_guided_filter:
                     t_out = guided_filter(t_img, t_out, r=1, eps=5e-3)
+        u8 = _postprocess_u8(t_out, denormalize=self.presets.normalize)
+        if color_ref is not None:
+            u8 = color_fix(jnp.asarray(color_ref), u8)
         if device_out:
-            return DeviceBands(_postprocess_u8(
-                t_out, denormalize=self.presets.normalize))
-        return tensor2np(t_out, denormalize=self.presets.normalize)
+            return DeviceBands(u8)
+        return fetch_np(u8)
 
     def batchable(self, shape: Sequence[int], n: int) -> bool:
         """Whether ``n`` stacked images of prepared HWC ``shape`` can run
@@ -721,8 +727,11 @@ class InferenceSession:
         slower, reproducibly (XLA shape pathology, BASELINE.md), and
         run_batch prefers the whole-image path whenever it fits HBM —
         so any cyclegan session at batch 4 can hit it.  Auto sizing never
-        picks 4 for an affected session (bumps to 2); an explicit
-        --batch 4 is honored but warned about."""
+        picks 4 for an affected session (bumps to 2); run_batch itself
+        splits any whole-image batch-4 group 2+2 (identical outputs),
+        which also fences never-full directory flushes whose NATURAL
+        size lands on 4.  An explicit --batch 4 gets a heads-up that the
+        groups will run split."""
         if n != 4:
             return n
         if not any(st.model.cfg.get("type") == "resnet_net"
@@ -733,14 +742,16 @@ class InferenceSession:
         if explicit:
             logging.getLogger("innfer_tpu").warning(
                 "cyclegan whole-image forwards at batch 4 hit a known "
-                "~4x XLA compile stall on TPU (BASELINE.md); consider "
-                "--batch 8 or --batch 2")
+                "~4x XLA compile stall on TPU (BASELINE.md); groups "
+                "will run as two batch-2 forwards (identical outputs) — "
+                "consider --batch 8 or --batch 2")
             return n
         return 2
 
     def run_batch(self, imgs: List[np.ndarray], *,
                   already_prepared: bool = False,
-                  pad_to: Optional[int] = None) -> List[np.ndarray]:
+                  pad_to: Optional[int] = None,
+                  use_color_fix: bool = False) -> List[np.ndarray]:
         """Run N same-shape images as ONE stacked forward.
 
         TPU-native addition (no reference analogue — the reference loop is
@@ -783,7 +794,25 @@ class InferenceSession:
                     and not has_ts
                     and same and self.batchable_tiled(imgs[0].shape, n_run))
         if not whole_ok and not tiled_ok:
-            return [self.run_image(im, already_prepared=True) for im in imgs]
+            return [self.run_image(im, already_prepared=True,
+                                   color_ref=im if use_color_fix else None)
+                    for im in imgs]
+        if (whole_ok and n_run == 4 and jax.default_backend() != "cpu"
+                and any(st.model.cfg.get("type") == "resnet_net"
+                        for st in self.stages)):
+            # CycleGAN whole-image forwards at EXACTLY batch 4 hit a
+            # reproducible ~4x XLA compile stall (BASELINE.md).  Split the
+            # group 2+2 instead: identical outputs (convs/instance-norm
+            # are batch-independent), never-full directory flushes of a
+            # natural 4 are fenced the same as explicit --batch 4, and
+            # both halves share ONE compiled batch-2 shape.
+            out = []
+            for part in (imgs[:2], imgs[2:]):
+                if part:
+                    out += self.run_batch(part, already_prepared=True,
+                                          pad_to=2,
+                                          use_color_fix=use_color_fix)
+            return out
         stacked = np.stack(imgs + [imgs[-1]] * (n_run - n_real))
         t_img = np2tensor(stacked, normalize=self.presets.normalize,
                           dtype=self.compute_dtype)
@@ -807,7 +836,14 @@ class InferenceSession:
                 t_out = stage(t_out, force_whole=not tiled_ok)
                 if self.presets.use_guided_filter:
                     t_out = guided_filter(t_img, t_out, r=1, eps=5e-3)
-        out = tensor2np(t_out, denormalize=self.presets.normalize, batched=True)
+        u8 = _postprocess_u8(t_out, denormalize=self.presets.normalize,
+                             batched=True)
+        if use_color_fix:
+            # batched device-side color transfer against the stacked
+            # inputs already on host — same per-image numerics as the
+            # run_image spelling (color_fix is batch-independent)
+            u8 = color_fix(jnp.asarray(stacked), u8)
+        out = fetch_np(u8)
         return [out[i] for i in range(n_real)]
 
     def process(
@@ -873,8 +909,9 @@ class InferenceSession:
                 ctx = timers.stage("fetch") if timers else _nullctx()
                 with ctx:
                     out = tensor2np(out, denormalize=self.presets.normalize)
-            if use_color_fix:
-                out = fetch_np(color_fix(jnp.asarray(img_in), jnp.asarray(out)))
+            # color_fix already ran ON DEVICE in run_image/run_batch —
+            # applying it here (a pool thread) would fetch + re-upload the
+            # full SR output over the tunnel and dispatch out of order
             ctx = timers.stage("encode") if timers else _nullctx()
             with ctx:
                 if comp:
@@ -936,7 +973,8 @@ class InferenceSession:
             ctx = timers.stage("batch") if timers else _nullctx()
             with ctx:
                 outs = self.run_batch(list(imgs), already_prepared=True,
-                                      pad_to=pad_to)
+                                      pad_to=pad_to,
+                                      use_color_fix=use_color_fix)
             for name, src, img_in, out in zip(names, srcs, imgs, outs):
                 finish(name, src, img_in, out)
 
@@ -954,37 +992,49 @@ class InferenceSession:
                 yield item
 
         pending = {}
-        for _idx, image_path, img in timed_read(loader):
-            name = osp.splitext(osp.basename(image_path))[0]
-            if img is None:
-                print(f"Error reading image {image_path}, skipping.")
-                continue
-            img_in = self.prepare(img)
-            key = (img_in.shape, str(img_in.dtype))
-            if key not in targets:
-                targets[key] = (batch if batch > 1
-                                else self.auto_batch(img_in.shape)
-                                if batch == 0 else 1)
-            if targets[key] > 1:
-                group = pending.setdefault(key, [])
-                group.append((name, image_path, img_in))
-                if len(group) == targets[key]:
+        try:
+            for _idx, image_path, img in timed_read(loader):
+                name = osp.splitext(osp.basename(image_path))[0]
+                if img is None:
+                    print(f"Error reading image {image_path}, skipping.")
+                    continue
+                img_in = self.prepare(img)
+                key = (img_in.shape, str(img_in.dtype))
+                if key not in targets:
+                    targets[key] = (batch if batch > 1
+                                    else self.auto_batch(img_in.shape)
+                                    if batch == 0 else 1)
+                if targets[key] > 1:
+                    group = pending.setdefault(key, [])
+                    group.append((name, image_path, img_in))
+                    if len(group) == targets[key]:
+                        flush(group, key)
+                        pending[key] = []
+                    continue
+                ctx = timers.stage("image") if timers else _nullctx()
+                with ctx:
+                    out = self.run_image(
+                        img_in, already_prepared=True,
+                        device_out=enc_pool is not None,
+                        color_ref=img_in if use_color_fix else None)
+                finish(name, image_path, img_in, out)
+            for key, group in pending.items():
+                if group:
                     flush(group, key)
-                    pending[key] = []
-                continue
-            ctx = timers.stage("image") if timers else _nullctx()
-            with ctx:
-                out = self.run_image(img_in, already_prepared=True,
-                                     device_out=enc_pool is not None)
-            finish(name, image_path, img_in, out)
-        for key, group in pending.items():
-            if group:
-                flush(group, key)
-        loader.close()
-        if enc_pool is not None:
+            if enc_pool is not None:
+                for f in enc_futures:
+                    f.result()  # surface write errors; raise-on-fail
+        except BaseException:
+            # a raised encode/write/forward error must not leave queued
+            # finalizes writing files (or the prefetch threads decoding)
+            # after the caller has already handled the failure
             for f in enc_futures:
-                f.result()  # surface write errors; preserves raise-on-fail
-            enc_pool.shutdown()
+                f.cancel()
+            raise
+        finally:
+            loader.close()
+            if enc_pool is not None:
+                enc_pool.shutdown(wait=True)
         if metric_rows and verbose:
             mean_p = sum(r["psnr"] for r in metric_rows) / len(metric_rows)
             mean_s = sum(r["ssim"] for r in metric_rows) / len(metric_rows)

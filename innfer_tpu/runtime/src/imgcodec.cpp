@@ -278,12 +278,15 @@ int encode_png(const char* path, const uint8_t* data, int h, int w, int c,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_set_compression_level(png, compression_level);
   if (compression_level <= 1) {
-    // fast path: adaptive row filtering dominates encode time at low
-    // zlib levels (~1 s for a 4K frame on one core); NONE + RLE is the
-    // standard fast-PNG recipe (what fpng/Qt "fast" modes do) and cuts
-    // that several-fold for a modest size increase.  Levels >= 2 keep
-    // libpng's adaptive filter heuristic (caller asked for density).
-    png_set_filter(png, 0, PNG_FILTER_NONE);
+    // fast path: Z_RLE at level 1 with libpng's ADAPTIVE row filters —
+    // exactly cv2.imwrite's default recipe (IMWRITE_PNG_COMPRESSION 1 +
+    // IMWRITE_PNG_STRATEGY_RLE), so product files match the reference's
+    // byte policy.  Measured on 4K content (round 5): forcing
+    // PNG_FILTER_NONE here saved NO time (0.27 vs 0.30 s) but inflated
+    // natural-image output 4.5x (20.7 vs 4.6 MB) — row filtering is what
+    // makes RLE compress photographic rows; it only looked free on the
+    // bench's synthetic noise frames.  Levels >= 2 use zlib's default
+    // strategy at the requested density.
     png_set_compression_strategy(png, 3 /* Z_RLE */);
   }
   png_write_info(png, info);

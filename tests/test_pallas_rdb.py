@@ -310,6 +310,35 @@ class TestLeverProbes:
         monkeypatch.delenv("INNFER_DX_MODE")
         assert R._default_dx_mode() == "slice"
 
+    def test_dx_mode_resolves_lazily(self, monkeypatch):
+        """DX_MODE must stay None at import (resolving consults the lever
+        cache, whose key includes jax.default_backend() — an import-time
+        backend init would hang on a downed tunnel and pin the platform
+        before a CPU-forcing script's jax.config.update).  A direct
+        setattr (tests/tools) always wins over the lazy default."""
+        import subprocess
+        import sys
+
+        from innfer_tpu.ops.pallas import levers as L
+        from innfer_tpu.ops.pallas import rdb as R
+
+        monkeypatch.setattr(R, "DX_MODE", None)
+        monkeypatch.setattr(L, "lever_enabled", lambda n: False)
+        monkeypatch.delenv("INNFER_DX_MODE", raising=False)
+        assert R._dx_mode() == "roll"
+        assert R.DX_MODE == "roll"  # cached after first resolution
+        monkeypatch.setattr(R, "DX_MODE", "slice")
+        assert R._dx_mode() == "slice"
+        # fresh interpreter: importing the module must not resolve it
+        code = ("import innfer_tpu.ops.pallas.rdb as R; "
+                "assert R.DX_MODE is None")
+        import os.path as osp
+
+        repo = osp.dirname(osp.dirname(osp.dirname(osp.dirname(
+            osp.abspath(R.__file__)))))
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       timeout=120, cwd=repo)
+
     def test_probe_records_failure_on_exception(self, tmp_path, monkeypatch):
         from innfer_tpu.ops.pallas import levers as L
         from innfer_tpu.ops.pallas import rdb as R

@@ -860,6 +860,105 @@ class TestAutoBatchEstimator:
             assert sess._fence_cg_batch(4) == 4
         assert any("batch 4" in r.message for r in caplog.records)
 
+    def test_run_batch_splits_cg_whole_image_batch4(self, monkeypatch):
+        """The fence must hold on EVERY route to a whole-image batch-4
+        forward — including a never-full directory flush whose natural
+        group size lands on 4 (which bypasses auto_batch's bump and the
+        explicit-batch warning): run_batch itself splits 2+2."""
+        import innfer_tpu.pipeline as P
+
+        p = select_presets("resnet_net")
+        p.chop = False
+        sess = InferenceSession(
+            osp.join(GOLDENS, "cyclegan9.pth"), arch="resnet_net",
+            presets=p, compute_dtype=jnp.float32)
+        monkeypatch.setattr(P.jax, "default_backend", lambda: "tpu")
+        seen = []
+        real = P.np2tensor
+
+        def spy(img, **kw):
+            seen.append(img.shape[0])
+            return real(img, **kw)
+
+        monkeypatch.setattr(P, "np2tensor", spy)
+        imgs = [np.random.default_rng(s).integers(
+            0, 256, (40, 40, 3), dtype=np.uint8) for s in range(4)]
+        outs = sess.run_batch(imgs)
+        assert seen == [2, 2] and len(outs) == 4
+        # a padded-to-4 remainder flush is fenced the same way
+        seen.clear()
+        sess.run_batch(imgs[:3], pad_to=4)
+        assert seen == [2, 2]
+        # parity: the split halves equal the solo forwards
+        monkeypatch.setattr(P, "np2tensor", real)
+        solo = [sess.run_image(im) for im in imgs]
+        for b, s in zip(outs, solo):
+            assert np.abs(b.astype(int) - s.astype(int)).max() <= 1
+
+    def test_batch5_not_fenced(self, monkeypatch):
+        """Only EXACTLY 4 hits the XLA pathology; neighbours stay whole."""
+        import innfer_tpu.pipeline as P
+
+        p = select_presets("resnet_net")
+        p.chop = False
+        sess = InferenceSession(
+            osp.join(GOLDENS, "cyclegan9.pth"), arch="resnet_net",
+            presets=p, compute_dtype=jnp.float32)
+        monkeypatch.setattr(P.jax, "default_backend", lambda: "tpu")
+        seen = []
+        real = P.np2tensor
+
+        def spy(img, **kw):
+            seen.append(img.shape[0])
+            return real(img, **kw)
+
+        monkeypatch.setattr(P, "np2tensor", spy)
+        imgs = [np.random.default_rng(s).integers(
+            0, 256, (40, 40, 3), dtype=np.uint8) for s in range(2)]
+        sess.run_batch(imgs)
+        assert seen == [2]
+
+
+class TestDeviceColorFix:
+    """color_fix runs ON DEVICE inside run_image/run_batch (not on the
+    encode pool): the host spelling fetched + re-uploaded the full SR
+    output over the (bottleneck) tunneled link and dispatched device ops
+    off the main loop.  Numerics contract: identical u8 results."""
+
+    def test_run_image_color_ref_matches_host_spelling(self):
+        from innfer_tpu.ops.filters import color_fix
+
+        sess = InferenceSession(
+            osp.join(GOLDENS, "esrgan_x2.pth"), compute_dtype=jnp.float32,
+            tile=16, overlap=8)
+        img = np.random.default_rng(7).integers(
+            0, 256, (24, 20, 3), dtype=np.uint8)
+        prepared = sess.prepare(img)
+        plain = sess.run_image(prepared, already_prepared=True)
+        expected = np.asarray(color_fix(jnp.asarray(prepared),
+                                        jnp.asarray(plain)))
+        got = sess.run_image(prepared, already_prepared=True,
+                             color_ref=prepared)
+        np.testing.assert_array_equal(got, expected)
+        # DeviceBands route (the process() product path) agrees too
+        bands = sess.run_image(prepared, already_prepared=True,
+                               color_ref=prepared, device_out=True)
+        np.testing.assert_array_equal(bands.fetch(), expected)
+
+    def test_run_batch_color_fix_matches_per_image(self):
+        p = select_presets("infer")
+        p.chop = False
+        sess = InferenceSession(
+            osp.join(GOLDENS, "esrgan_x2.pth"), presets=p,
+            compute_dtype=jnp.float32)
+        imgs = [np.random.default_rng(s).integers(
+            0, 256, (24, 20, 3), dtype=np.uint8) for s in (8, 9)]
+        batched = sess.run_batch(imgs, use_color_fix=True)
+        solo = [sess.run_image(im, color_ref=sess.prepare(im))
+                for im in imgs]
+        for b, s in zip(batched, solo):
+            assert np.abs(b.astype(int) - s.astype(int)).max() <= 1
+
 
 class TestEncodePool:
     """Background PNG-encode pool: saves overlap device compute; write

@@ -52,20 +52,31 @@ def time_fetch(dev, label: str, results: dict, ways: int = 1) -> None:
     mb = dev.size * dev.dtype.itemsize / 1e6
     rates = []
     for rep in range(REPS + 1):
+        # np.asarray CACHES the fetched host copy ON the array object —
+        # re-fetching the same array measures a host memcpy, not the link
+        # (the first committed artifact's 1-way rows read millions of
+        # MB/s).  Derive a FRESH device array every rep, slice its bands
+        # and sync BEFORE the clock so both paths time pure transfer
+        # (device dispatch is single-stream: syncing the last slice
+        # implies the earlier ones completed).
+        fresh = dev + np.uint8(rep)
+        if ways == 1:
+            slabs = [fresh]
+        else:
+            h = fresh.shape[0]
+            band = (h + ways - 1) // ways
+            slabs = [fresh[i * band:(i + 1) * band] for i in range(ways)]
+        observability.device_sync(slabs[-1])
         t0 = time.perf_counter()
         if ways == 1:
-            np.asarray(dev)
+            np.asarray(slabs[0])
         else:
-            h = dev.shape[0]
-            band = (h + ways - 1) // ways
-            slabs = [dev[i * band:(i + 1) * band] for i in range(ways)]
-            for s in slabs:  # materialize slices before threading the fetch
-                s.block_until_ready()
             with ThreadPoolExecutor(max_workers=ways) as pool:
                 list(pool.map(np.asarray, slabs))
         dt = time.perf_counter() - t0
         if rep:
             rates.append(mb / dt)
+        del fresh, slabs
     results[label] = {"mb": round(mb, 1), "mb_s": [round(r, 2) for r in rates]}
     print(f"fetch {label}: {results[label]}", flush=True)
 
