@@ -159,8 +159,15 @@ def _load_zip(path: str) -> Dict[str, Any]:
             raise ValueError(f"{path} is a zip file but not a torch checkpoint (no data.pkl)")
         prefix = pkl_name[: -len("data.pkl")]
 
+        storages: Dict[str, _Storage] = {}
+
         def loader(key: str, dtype: np.dtype, _numel: int) -> _Storage:
-            return _Storage(zf.read(f"{prefix}data/{key}"), dtype)
+            # memoize like the legacy path: tensors sharing one storage
+            # (tied weights, multiple views) must alias ONE _Storage, not
+            # re-read and re-materialize the zip entry per reference
+            if key not in storages:
+                storages[key] = _Storage(zf.read(f"{prefix}data/{key}"), dtype)
+            return storages[key]
 
         with zf.open(pkl_name) as f:
             return _Unpickler(io.BytesIO(f.read()), loader).load()

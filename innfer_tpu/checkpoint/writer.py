@@ -116,7 +116,11 @@ def write_checkpoint(path: str, state: Dict[str, np.ndarray]) -> None:
     """
     arrays = {}
     for key, val in state.items():
-        arr = np.ascontiguousarray(np.asarray(val))
+        a0 = np.asarray(val)
+        # np.ascontiguousarray promotes 0-d arrays to shape (1,) — reshape
+        # back so scalar entries (BN num_batches_tracked, SWA n_averaged)
+        # round-trip with their true rank
+        arr = np.ascontiguousarray(a0).reshape(a0.shape)
         if arr.dtype not in _STORAGE_BY_DTYPE:
             raise ValueError(f"unsupported dtype {arr.dtype} for key {key}")
         arrays[key] = arr

@@ -94,7 +94,11 @@ def save_img(img: np.ndarray, img_path: str, scale: Optional[float] = None) -> N
 
         if native.encode_png(img_path, img):
             return
-    cv2.imwrite(img_path, img)
+    if not cv2.imwrite(img_path, img):
+        # imwrite signals failure (full disk, bad extension, lost write
+        # permission) by RETURN VALUE only — swallowing it would let a
+        # directory run report written paths for missing files
+        raise OSError(f"failed to write image {img_path}")
 
 
 def merge_imgs(img_list) -> np.ndarray:
@@ -125,14 +129,22 @@ def modcrop(img: np.ndarray, scale: int) -> np.ndarray:
 
 def linear_resize(img: np.ndarray, st: int = 256) -> np.ndarray:
     """Resize up to the next multiple of ``st`` through linear light
-    (utils.py:267-275): srgb->linear, bicubic, linear->srgb."""
-    from innfer_tpu.ops import colors  # numpy-compatible formulas
-    import jax.numpy as jnp
+    (utils.py:267-275): srgb->linear, bicubic, linear->srgb.
 
+    The pointwise srgb<->linear math runs in HOST numpy (same formulas as
+    ops/colors.py): this sits on the blocking per-image prepare path, and
+    routing it through device arrays would add two host->device->host
+    round-trips of float32 pixels over the tunnel-bound link."""
     h, w = img.shape[:2]
     if h % st == 0 and w % st == 0:
         return img
     oh, ow = -(-h // st) * st, -(-w // st) * st
-    linear = np.asarray(colors.srgb_to_linear(jnp.asarray(img)))
+    a, att, gamma = 0.055, 12.92, 2.4
+    x = img.astype(np.float32) / 255.0
+    linear = np.where(x <= 0.04045, x / att,
+                      np.power((x + a) / (1 + a), gamma))
     linear = cv2.resize(linear, dsize=(ow, oh), interpolation=cv2.INTER_CUBIC)
-    return np.asarray(colors.linear_to_srgb(jnp.asarray(linear)))
+    x = np.clip(linear, 0.0, 1.0)
+    srgb = np.where(x <= 0.0031308, x * att,
+                    (1 + a) * np.power(x, 1.0 / gamma) - a)
+    return np.clip(srgb * 255.0, 0.0, 255.0).astype(np.uint8)

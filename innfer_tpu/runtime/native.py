@@ -26,9 +26,14 @@ _build_failed = False
 
 
 def _compile() -> bool:
-    os.makedirs(_BUILD, exist_ok=True)
-    srcs = [osp.join(_SRC, "imgcodec.cpp"), osp.join(_SRC, "loader.cpp")]
-    newest_src = max(os.path.getmtime(s) for s in srcs)
+    try:
+        os.makedirs(_BUILD, exist_ok=True)
+        srcs = [osp.join(_SRC, "imgcodec.cpp"), osp.join(_SRC, "loader.cpp")]
+        newest_src = max(os.path.getmtime(s) for s in srcs)
+    except OSError:
+        # sources missing/unreadable (e.g. an installed tree without src/):
+        # a prebuilt library, if present, is still usable
+        return osp.exists(_LIB_PATH)
     if osp.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= newest_src:
         return True
     cmd = [
@@ -53,7 +58,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if not _compile():
             _build_failed = True
             return None
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # stale/truncated .so (interrupted g++) or missing shared deps
+            # on this host: degrade to the cv2 fallback as documented
+            # rather than crashing every read/save call
+            _build_failed = True
+            return None
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.decode_png.argtypes = [ctypes.c_char_p, ctypes.POINTER(u8p)] + [ctypes.POINTER(ctypes.c_int)] * 3
         lib.decode_png.restype = ctypes.c_int

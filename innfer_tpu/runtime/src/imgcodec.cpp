@@ -41,7 +41,14 @@ int decode_png(const char* path, uint8_t** out, int* h, int* w, int* c) {
   png_infop info = png_create_info_struct(png);
   if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); fclose(fp); return IMG_ERR_DECODE; }
 
+  // volatile: assigned between setjmp and a potential longjmp (a truncated
+  // file longjmps out of png_read_image) — the handler must see the final
+  // values to free them, not leak per corrupt file
+  uint8_t* volatile buf = nullptr;
+  png_bytep* volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
+    free(rows);
+    free(buf);
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
     return IMG_ERR_DECODE;
@@ -73,13 +80,13 @@ int decode_png(const char* path, uint8_t** out, int* h, int* w, int* c) {
   int channels = (int)png_get_channels(png, info);
   size_t stride = (size_t)width * channels;
 
-  uint8_t* buf = (uint8_t*)malloc((size_t)height * stride);
+  buf = (uint8_t*)malloc((size_t)height * stride);
   if (!buf) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
     return IMG_ERR_DECODE;
   }
-  png_bytep* rows = (png_bytep*)malloc(sizeof(png_bytep) * height);
+  rows = (png_bytep*)malloc(sizeof(png_bytep) * height);
   if (!rows) {
     free(buf);
     png_destroy_read_struct(&png, &info, nullptr);
@@ -113,7 +120,11 @@ int decode_png16(const char* path, uint16_t** out, int* h, int* w, int* c) {
   png_infop info = png_create_info_struct(png);
   if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); fclose(fp); return IMG_ERR_DECODE; }
 
+  uint16_t* volatile buf = nullptr;  // see decode_png: freed on longjmp
+  png_bytep* volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
+    free(rows);
+    free(buf);
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
     return IMG_ERR_DECODE;
@@ -139,13 +150,13 @@ int decode_png16(const char* path, uint16_t** out, int* h, int* w, int* c) {
   int channels = (int)png_get_channels(png, info);
   size_t stride = (size_t)width * channels * 2;
 
-  uint16_t* buf = (uint16_t*)malloc((size_t)height * stride);
+  buf = (uint16_t*)malloc((size_t)height * stride);
   if (!buf) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
     return IMG_ERR_DECODE;
   }
-  png_bytep* rows = (png_bytep*)malloc(sizeof(png_bytep) * height);
+  rows = (png_bytep*)malloc(sizeof(png_bytep) * height);
   if (!rows) {
     free(buf);
     png_destroy_read_struct(&png, &info, nullptr);
@@ -188,7 +199,10 @@ int decode_jpeg(const char* path, uint8_t** out, int* h, int* w, int* c) {
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
-  uint8_t* buf = nullptr;
+  // volatile: assigned after setjmp, read in the handler — without it the
+  // longjmp restores the setjmp-time nullptr and the scanline buffer leaks
+  // on every corrupt file (formally UB to read otherwise)
+  uint8_t* volatile buf = nullptr;
 
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
@@ -278,15 +292,17 @@ int encode_png(const char* path, const uint8_t* data, int h, int w, int c,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_set_compression_level(png, compression_level);
   if (compression_level <= 1) {
-    // fast path: Z_RLE at level 1 with libpng's ADAPTIVE row filters —
-    // exactly cv2.imwrite's default recipe (IMWRITE_PNG_COMPRESSION 1 +
-    // IMWRITE_PNG_STRATEGY_RLE), so product files match the reference's
-    // byte policy.  Measured on 4K content (round 5): forcing
-    // PNG_FILTER_NONE here saved NO time (0.27 vs 0.30 s) but inflated
-    // natural-image output 4.5x (20.7 vs 4.6 MB) — row filtering is what
-    // makes RLE compress photographic rows; it only looked free on the
-    // bench's synthetic noise frames.  Levels >= 2 use zlib's default
-    // strategy at the requested density.
+    // fast path: fixed UP row filter + Z_RLE at level 1.  Measured on 4K
+    // content (round 5, tools/out/png_filter_ab.json): PNG_FILTER_NONE
+    // inflates natural-image output 4.5x (20.7 vs 4.2 MB) — row
+    // filtering is what makes RLE compress photographic rows — while
+    // libpng's 5-filter ADAPTIVE heuristic costs 1.7x the encode time
+    // (0.97 vs 0.58 s/frame, material on few-core hosts) for IDENTICAL
+    // size on natural content.  UP alone matches adaptive's size at
+    // single-pass speed (cv2's default recipe is level 1 + Z_RLE +
+    // adaptive; same compressed size, slower filter pass).  Levels >= 2
+    // keep adaptive filtering and zlib's default strategy (density).
+    png_set_filter(png, 0, PNG_FILTER_UP);
     png_set_compression_strategy(png, 3 /* Z_RLE */);
   }
   png_write_info(png, info);

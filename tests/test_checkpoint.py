@@ -58,6 +58,34 @@ def test_load_shared_storage_legacy(tmp_path, rng):
     np.testing.assert_array_equal(state["tail"], base[8:].numpy())
 
 
+def test_zip_shared_storage_aliases_one_buffer(tmp_path, rng):
+    """zip-format BINPERSID memoization: tensors sharing one storage must
+    alias ONE materialized buffer (tied weights would otherwise re-read
+    and re-materialize the zip entry per reference)."""
+    base = torch.from_numpy(rng.standard_normal(12, dtype=np.float32))
+    obj = {"a": base, "b": base.view(3, 4)}
+    state = _roundtrip(tmp_path, obj)
+    np.testing.assert_array_equal(np.asarray(state["b"]).ravel(), base.numpy())
+    assert np.shares_memory(np.asarray(state["a"]), np.asarray(state["b"]))
+
+
+def test_writer_preserves_zero_dim(tmp_path):
+    """np.ascontiguousarray promotes 0-d arrays to shape (1,): scalar
+    entries (BN num_batches_tracked, SWA n_averaged) must round-trip
+    rank-0 through the writer, for torch and for our reader alike."""
+    from innfer_tpu.checkpoint.writer import write_checkpoint
+
+    p = str(tmp_path / "zd.pth")
+    write_checkpoint(p, {"n": np.array(5, np.int64),
+                         "w": np.ones((2, 2), np.float32)})
+    ours = load_checkpoint(p)
+    assert np.asarray(ours["n"]).shape == ()
+    assert int(np.asarray(ours["n"])) == 5
+    theirs = torch.load(p, weights_only=True)
+    assert tuple(theirs["n"].shape) == ()
+    assert int(theirs["n"]) == 5
+
+
 def test_writer_large_ints_long1():
     """ints outside signed 32-bit must be emitted as LONG1, not struct '<i'."""
     import pickle

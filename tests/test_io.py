@@ -37,6 +37,37 @@ class TestLinearResize:
         # interior is exactly the flat color (bicubic of constant = constant)
         assert np.all(np.abs(out[5:-5, 5:-5].astype(int) - 120) <= 1)
 
+    def test_matches_device_color_formulas(self, rng):
+        """linear_resize's HOST numpy srgb<->linear math (kept on host to
+        avoid two device round-trips on the blocking prepare path) must
+        agree with ops/colors.py's device formulas."""
+        import cv2
+        import jax.numpy as jnp
+
+        from innfer_tpu.ops import colors
+
+        img = rng.integers(0, 256, (40, 52, 3), dtype=np.uint8)
+        out = iio.linear_resize(img, 64)
+        lin = np.asarray(colors.srgb_to_linear(jnp.asarray(img)))
+        lin = cv2.resize(lin, dsize=(64, 64), interpolation=cv2.INTER_CUBIC)
+        ref = np.asarray(colors.linear_to_srgb(jnp.asarray(lin)))
+        assert out.shape == ref.shape == (64, 64, 3)
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+class TestSaveImg:
+    def test_raises_on_imwrite_failure(self, tmp_path, monkeypatch):
+        """cv2.imwrite signals failure by RETURN VALUE only; save_img must
+        raise so a directory run can't report written paths for missing
+        files (pipeline's end-of-run drain surfaces it)."""
+        from innfer_tpu.runtime import native
+
+        monkeypatch.setattr(iio.cv2, "imwrite", lambda *a, **k: False)
+        monkeypatch.setattr(native, "encode_png", lambda *a, **k: False)
+        img = np.zeros((4, 4, 3), np.uint8)
+        with pytest.raises(OSError):
+            iio.save_img(img, str(tmp_path / "x.png"))
+
 
 class TestMergeImgs:
     def test_hconcat_with_nn_upscale(self, rng):

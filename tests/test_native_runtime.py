@@ -100,3 +100,49 @@ def test_palette_png_matches_cv2(lib, tmp_path, rng):
     ours = native.decode(p)
     theirs = cv2.imread(p, cv2.IMREAD_UNCHANGED)
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_corrupt_files_return_none(lib, tmp_path, rng):
+    """Truncated PNG/JPEG must decode to None (cv2 fallback), exercising
+    the longjmp error handlers (which also free the pixel buffers — the
+    leak class fixed round 5)."""
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    p_png, p_jpg = str(tmp_path / "t.png"), str(tmp_path / "t.jpg")
+    cv2.imwrite(p_png, img)
+    cv2.imwrite(p_jpg, img)
+    data = open(p_png, "rb").read()
+    open(p_png, "wb").write(data[: len(data) // 2])  # truncate mid-stream
+    assert native.decode(p_png) is None
+    # libjpeg gray-fills MID-STREAM truncation (warning, cv2-parity) — the
+    # error_exit/longjmp path needs a broken header
+    data = open(p_jpg, "rb").read()
+    open(p_jpg, "wb").write(data[:24])
+    assert native.decode(p_jpg) is None
+
+
+def test_stale_library_degrades_to_none(tmp_path, monkeypatch):
+    """A truncated/corrupt .so newer than the sources (interrupted g++)
+    must make get_lib return None — the documented cv2 fallback — not
+    raise OSError out of every read/save call."""
+    import os
+    import time
+
+    bad = tmp_path / "libbad.so"
+    bad.write_bytes(b"not an elf")
+    future = time.time() + 10 ** 6
+    os.utime(str(bad), (future, future))
+    monkeypatch.setattr(native, "_LIB_PATH", str(bad))
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_build_failed", False)
+    assert native.get_lib() is None
+    assert native._build_failed
+
+
+def test_prebuilt_library_usable_without_sources(monkeypatch):
+    """An installed tree without src/ must still load a prebuilt .so."""
+    if not osp.exists(native._LIB_PATH):
+        pytest.skip("native library not built")
+    monkeypatch.setattr(native, "_SRC", native._SRC + "_missing")
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_build_failed", False)
+    assert native.get_lib() is not None
