@@ -149,4 +149,13 @@ def get_network_config(network: Union[str, Dict[str, Any]], scale: int) -> Dict[
             padding_type=pop("padding_type", "reflect"),
         )
 
+    # Forward the extension keys the builders consume from cfg.  The
+    # reference's normalizer also drops unknown spec keys (parity for
+    # junk), and treats outm as a forward() kwarg its CLI never passes —
+    # but a spec key this framework's builders DO read (rrdb/srresnet
+    # outm; rrdb/resnet/ppon backend) must survive normalization instead
+    # of being silently discarded.
+    for extra in ("outm", "backend"):
+        if extra in opts:
+            cfg[extra] = opts.pop(extra)
     return cfg

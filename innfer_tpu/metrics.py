@@ -57,3 +57,37 @@ def psnr_np(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
     """Host-side PSNR for uint8 images."""
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     return float("inf") if mse == 0 else float(10 * np.log10(peak * peak / mse))
+
+
+def ssim_np(a: np.ndarray, b: np.ndarray, peak: float = 1.0, size: int = 11,
+            sigma: float = 1.5) -> float:
+    """Host-side SSIM, same math as :func:`ssim` via cv2.filter2D.
+
+    The product loop's ``--metrics`` path runs on the background encode
+    pool; dispatching the device ``ssim`` from a pool thread would queue
+    its graph behind later images' forwards and block on a device
+    round-trip (the out-of-order-dispatch stall DeviceBands documents) —
+    host numpy keeps pool threads transfer/codec-only."""
+    import cv2
+
+    a32 = np.asarray(a, np.float32)
+    b32 = np.asarray(b, np.float32)
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    g /= g.sum()
+    k = np.outer(g, g).astype(np.float32)
+    c1 = (0.01 * peak) ** 2
+    c2 = (0.03 * peak) ** 2
+
+    def f(im):
+        # BORDER_REFLECT_101 == filter2d's default 'reflect' (torch-style)
+        return cv2.filter2D(im, -1, k, borderType=cv2.BORDER_REFLECT_101)
+
+    mu_a, mu_b = f(a32), f(b32)
+    mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
+    var_a = f(a32 * a32) - mu_aa
+    var_b = f(b32 * b32) - mu_bb
+    cov = f(a32 * b32) - mu_ab
+    num = (2 * mu_ab + c1) * (2 * cov + c2)
+    den = (mu_aa + mu_bb + c1) * (var_a + var_b + c2)
+    return float(np.mean(num / den))

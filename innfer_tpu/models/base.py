@@ -136,7 +136,11 @@ def convert_state(
 
 
 def cast_params(params: Params, dtype) -> Params:
-    """Cast all >=2D params to ``dtype`` (biases/stats stay fp32)."""
-    return {
-        k: (v if v.ndim <= 1 else v.astype(dtype)) for k, v in params.items()
-    }
+    """Cast all >=2D params to ``dtype`` (biases/stats stay fp32).
+
+    Returns a ParamDict so a config/checkpoint key mismatch at trace time
+    keeps the actionable ``__missing__`` diagnostic instead of degrading
+    to a bare KeyError after a cast."""
+    return ParamDict(
+        (k, v if v.ndim <= 1 else v.astype(dtype)) for k, v in params.items()
+    )

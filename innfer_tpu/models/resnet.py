@@ -159,6 +159,12 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         apply=apply,
         scale=1,
         transposed_keys=tuple(transposed),
-        ignore_key_patterns=(r".*running_(mean|var)", r".*num_batches_tracked"),
+        # running stats are vestigial ONLY for instance norm (pre-0.4 IN
+        # checkpoints carry them; torch IN without track_running_stats
+        # ignores them on load) — batch-norm generators NEED them in eval,
+        # where dropping them would silently fall back to per-image stats
+        ignore_key_patterns=(
+            (r".*running_(mean|var)", r".*num_batches_tracked")
+            if is_instance else (r".*num_batches_tracked",)),
         tile_quantum=quantum,
     )

@@ -170,6 +170,10 @@ def _rrdb(params, x, prefix: str, *, nr: int, act_type: str, plus: bool,
           backend: str = "auto", norm_type=None, conv_fn=None):
     simple = norm_type in (None, "none") and act_type in (
         "relu", "leakyrelu", "lrelu", "tanh", "sigmoid") and conv_fn is None
+    # the fused kernel operates per-RDB, so it is nr-agnostic; nr != 3
+    # checkpoints use 'RDBs.{i}' keys (reference RRDB with nr != 3)
+    names = (("RDB1", "RDB2", "RDB3") if nr == 3
+             else tuple(f"RDBs.{i}" for i in range(nr)))
     if backend == "pallas":
         if (not _pallas_ok(x, act_type) or norm_type not in (None, "none")
                 or conv_fn is not None):
@@ -185,7 +189,7 @@ def _rrdb(params, x, prefix: str, *, nr: int, act_type: str, plus: bool,
         fused = (backend == "auto" and conv_fn is None
                  and norm_type in (None, "none")
                  and _use_pallas(x, act_type)
-                 and f"{prefix}.RDB1.conv1.0.bias" in params)
+                 and f"{prefix}.{names[0]}.conv1.0.bias" in params)
     if backend == "scatter" and not simple:
         raise ValueError(
             "backend='scatter' requires a parameter-free activation and no "
@@ -195,7 +199,6 @@ def _rrdb(params, x, prefix: str, *, nr: int, act_type: str, plus: bool,
     # keep the gather form, which measures faster on the current backend.
     scatter = backend == "scatter" and simple and not fused
     out = x
-    names = ("RDB1", "RDB2", "RDB3") if nr == 3 else tuple(f"RDBs.{i}" for i in range(nr))
     for name in names:
         if fused:
             out = _rdb5c_pallas(params, out, f"{prefix}.{name}", plus=plus)
@@ -326,8 +329,11 @@ def build(cfg: Dict[str, Any]) -> ModelDef:
         return apply_tail(params, apply_trunk(params, x))
 
     # ask the tiling planner for 64-multiple tile dims whenever the fused
-    # Pallas RDB could fire (see _use_pallas) so it gets >=64 blocks
-    quantum = 64 if (backend in ("auto", "pallas") and nr == 3
+    # Pallas RDB could fire (see _use_pallas) so it gets >=64 blocks; the
+    # kernel is per-RDB and therefore nr-agnostic (gating on nr == 3 used
+    # to starve nr != 3 configs of aligned tiles, crashing backend='pallas'
+    # at trace time and silently disabling 'auto')
+    quantum = 64 if (backend in ("auto", "pallas")
                      and norm_type in (None, "none")
                      and act_type in ("leakyrelu", "lrelu")) else 1
     return ModelDef(

@@ -34,13 +34,6 @@ from innfer_tpu.nn import functional as F
 from innfer_tpu.nn import resize as R
 
 
-def _level_channels(num_downs: int, ngf: int, input_nc: int, output_nc: int):
-    """(down_in, down_out) conv channels per level, outermost first."""
-    outer = [input_nc] + [ngf, ngf * 2, ngf * 4] + [ngf * 8] * (num_downs - 4)
-    inner = [ngf, ngf * 2, ngf * 4, ngf * 8] + [ngf * 8] * (num_downs - 4)
-    return list(zip(outer, inner))
-
-
 def build(cfg: Dict[str, Any]) -> ModelDef:
     num_downs = int(cfg.get("num_downs", 8))
     norm_type = cfg.get("norm_type", "batch")

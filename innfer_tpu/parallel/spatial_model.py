@@ -131,7 +131,13 @@ def build_spatial_apply(cfg: Dict[str, Any], mesh: Mesh, axis: str = "data"):
     forward H-sharded.
 
     ``x`` is (N, H, W, C) with H divisible by the mesh axis size.  The
-    result is bit-comparable to the unsharded ``build(cfg).apply``.
+    result is mathematically exact vs the reference forward (halo-exchange
+    convs see the same neighbor rows) but NOT bitwise-equal to
+    ``build(cfg).apply``: the unsharded build applies the collapsed-upconv
+    rewrite and the phase-space tail (different fp32 accumulation order),
+    while this path materializes nearest-up + conv and the plain HR tail —
+    validate against a materialized-tail reference (see
+    tests/test_spatial_model.py), not bit-against apply().
     """
     if not spatial_supported(cfg):
         raise NotImplementedError(spatial_rejection_reason(cfg))

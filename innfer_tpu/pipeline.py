@@ -81,7 +81,11 @@ def _has_tf_token(s: str) -> bool:
 def select_presets(arch: str, models_arg: str = "", norm_flag: bool = False) -> Presets:
     """Arch-family preset selection (run.py:347-379)."""
     p = Presets(arch=arch)
-    if "unet_" in arch or "p2p_" in arch:
+    # 'and not wbc': 'unet_' is a substring of 'wbcunet_tf', so an explicit
+    # -a wbcunet_tf would otherwise route to the pix2pix branch — dropping
+    # the guided filter + modcrop wbc outputs depend on (the reference
+    # never hits this: its wbc sniff keys on the models string)
+    if ("unet_" in arch or "p2p_" in arch) and "wbc" not in arch:
         p.meval, p.strict, p.normalize = (
             PIX2PIX_EXTRAS["meval"], PIX2PIX_EXTRAS["strict"], PIX2PIX_EXTRAS["normalize"])
         p.chop = False
@@ -432,11 +436,22 @@ class InferenceSession:
     ):
         self.presets = presets or select_presets(arch, models_arg)
         self.compute_dtype = compute_dtype
-        n_chain = len(models_arg.split("+") if "+" in models_arg
-                      else models_arg.split(">"))
-        paths, scales = parse_models(models_arg,
-                                     [scale] * n_chain if scale else None,
-                                     models_dir)
+        # -s applies to a SINGLE model only, like the reference
+        # (run.py:391-394 never passes -s into chain parsing): broadcasting
+        # one scale over a mixed chain ("1x_a.pth+4x_b.pth" -s 4) would
+        # build the 1x stage as a 4x net and fail conversion.  Chains
+        # always take per-stage scales from the filenames.
+        paths, scales = parse_models(models_arg, None, models_dir)
+        if scale is not None:
+            if len(paths) == 1:
+                scales = [scale]
+            elif any(s != scale for s in scales):
+                import logging
+
+                logging.getLogger("innfer_tpu").warning(
+                    "-s %d ignored for the %d-model chain (per-stage scales"
+                    " %s come from the filenames, like the reference)",
+                    scale, len(paths), scales)
         self._mesh = mesh
         self._spatial = spatial
         if mesh is not None:
@@ -751,7 +766,8 @@ class InferenceSession:
     def run_batch(self, imgs: List[np.ndarray], *,
                   already_prepared: bool = False,
                   pad_to: Optional[int] = None,
-                  use_color_fix: bool = False) -> List[np.ndarray]:
+                  use_color_fix: bool = False,
+                  device_out: bool = False) -> List[Any]:
         """Run N same-shape images as ONE stacked forward.
 
         TPU-native addition (no reference analogue — the reference loop is
@@ -771,6 +787,9 @@ class InferenceSession:
         (outputs dropped) so every flush of a shape bucket reuses ONE
         compiled shape; padding happens AFTER the batchability decision,
         so the per-image fallback never forwards the pad duplicates.
+        ``device_out=True`` returns per-image DeviceBands (sliced at
+        dispatch time) instead of fetched numpy, so process()'s encode
+        pool overlaps the tunnel-bound transfer with the next group.
         """
         if not already_prepared:
             imgs = [self.prepare(im) for im in imgs]
@@ -790,11 +809,20 @@ class InferenceSession:
         # per-image path.
         has_ts = any(st.model.apply is None for st in self.stages)
         whole_ok = same and self.batchable(imgs[0].shape, n_run)
+        if whole_ok and self._fused_runner is not None:
+            # an explicit --fused-chain session must not silently
+            # materialize every intermediate stage image for stacked
+            # groups (the memory behavior the user opted out of), nor mix
+            # exact whole-image outputs with tile-local fused ones in a
+            # single directory run — keep every image on the fused
+            # tile-through-chain path
+            whole_ok = False
         tiled_ok = (not whole_ok and self.presets.chop and not self._spatial
                     and not has_ts
                     and same and self.batchable_tiled(imgs[0].shape, n_run))
         if not whole_ok and not tiled_ok:
             return [self.run_image(im, already_prepared=True,
+                                   device_out=device_out,
                                    color_ref=im if use_color_fix else None)
                     for im in imgs]
         if (whole_ok and n_run == 4 and jax.default_backend() != "cpu"
@@ -811,7 +839,8 @@ class InferenceSession:
                 if part:
                     out += self.run_batch(part, already_prepared=True,
                                           pad_to=2,
-                                          use_color_fix=use_color_fix)
+                                          use_color_fix=use_color_fix,
+                                          device_out=device_out)
             return out
         stacked = np.stack(imgs + [imgs[-1]] * (n_run - n_real))
         t_img = np2tensor(stacked, normalize=self.presets.normalize,
@@ -843,6 +872,11 @@ class InferenceSession:
             # inputs already on host — same per-image numerics as the
             # run_image spelling (color_fix is batch-independent)
             u8 = color_fix(jnp.asarray(stacked), u8)
+        if device_out:
+            # per-image DeviceBands, sliced at dispatch time: the encode
+            # pool then does pure transfer, overlapping the next group's
+            # compute instead of serializing the tunnel-bound fetch here
+            return [DeviceBands(u8[i]) for i in range(n_real)]
         out = fetch_np(u8)
         return [out[i] for i in range(n_real)]
 
@@ -920,15 +954,25 @@ class InferenceSession:
                     iio.save_img(out, dst)
             if metrics_dir:
                 gt = _find_reference(metrics_dir, name)
-                if gt is not None:
-                    from innfer_tpu.metrics import psnr_np, ssim
+                if gt is not None and gt.shape != out.shape:
+                    # presets that resize/modcrop inputs (wbc, unet/p2p)
+                    # legitimately change output geometry vs a same-named
+                    # GT file — skip with a note instead of killing the
+                    # whole directory run on a broadcasting error
+                    print(f"  metrics {name}: skipped — ground truth "
+                          f"{gt.shape} != output {out.shape} (the preset "
+                          "resized/modcropped the input)")
+                elif gt is not None:
+                    # host-side metrics: pool threads must not dispatch
+                    # device compute (see metrics.ssim_np docstring)
+                    from innfer_tpu.metrics import psnr_np, ssim_np
 
                     row = {
                         "image": name,
                         "psnr": round(psnr_np(out, gt), 3),
-                        "ssim": round(float(ssim(
-                            jnp.asarray(out, jnp.float32) / 255.0,
-                            jnp.asarray(gt, jnp.float32) / 255.0)), 4),
+                        "ssim": round(ssim_np(
+                            out.astype(np.float32) / 255.0,
+                            gt.astype(np.float32) / 255.0), 4),
                     }
                     metric_rows.append(row)
                     if verbose:
@@ -974,7 +1018,8 @@ class InferenceSession:
             with ctx:
                 outs = self.run_batch(list(imgs), already_prepared=True,
                                       pad_to=pad_to,
-                                      use_color_fix=use_color_fix)
+                                      use_color_fix=use_color_fix,
+                                      device_out=enc_pool is not None)
             for name, src, img_in, out in zip(names, srcs, imgs, outs):
                 finish(name, src, img_in, out)
 

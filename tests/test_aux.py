@@ -173,3 +173,58 @@ class TestDropoutParityWarning:
         with warnings.catch_warnings():
             warnings.simplefilter("error")
             get_network(cfg)
+
+
+class TestConfigExtensionKeys:
+    """get_network_config must forward the extension keys the builders
+    consume from cfg (outm, backend) instead of silently discarding them;
+    unknown junk keys stay dropped like the reference normalizer."""
+
+    def test_outm_and_backend_survive(self):
+        from innfer_tpu.config.defaults import get_network_config
+
+        cfg = get_network_config(
+            {"type": "esrgan", "nb": 2, "outm": "clamp",
+             "backend": "scatter"}, 4)
+        assert cfg["outm"] == "clamp" and cfg["backend"] == "scatter"
+        # builders actually consume them
+        from innfer_tpu.models import rrdb
+
+        model = rrdb.build({**cfg, "nf": 8})
+        assert model.cfg["outm"] == "clamp"
+
+    def test_junk_keys_still_dropped(self):
+        from innfer_tpu.config.defaults import get_network_config
+
+        cfg = get_network_config({"type": "esrgan", "zzz_unknown": 1}, 4)
+        assert "zzz_unknown" not in cfg
+
+
+class TestCastParamsDiagnostics:
+    def test_cast_preserves_paramdict_missing_message(self):
+        import jax.numpy as jnp
+        import numpy as np
+        import pytest
+
+        from innfer_tpu.models.base import ParamDict, cast_params
+
+        p = ParamDict({"w": jnp.asarray(np.ones((2, 2), np.float32))})
+        cast = cast_params(p, jnp.bfloat16)
+        assert isinstance(cast, ParamDict)
+        assert cast["w"].dtype == jnp.bfloat16
+        with pytest.raises(KeyError, match="auto-detection"):
+            cast["model.0.weight"]
+
+
+class TestRRDBQuantumNrAgnostic:
+    def test_nr2_pallas_gets_aligned_quantum(self):
+        """The fused RDB kernel is per-RDB (nr-agnostic): nr != 3 configs
+        must still request 64-multiple tiles so backend='pallas' doesn't
+        crash at trace time on planner-misaligned tiles (fixed round 5)."""
+        from innfer_tpu.config.defaults import get_network_config
+        from innfer_tpu.models import rrdb
+
+        cfg = get_network_config({"type": "esrgan", "nb": 2, "nr": 2,
+                                  "nf": 8, "backend": "pallas"}, 4)
+        model = rrdb.build(cfg)
+        assert model.tile_quantum == 64 and model.tile_quantum_strict

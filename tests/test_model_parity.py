@@ -135,9 +135,33 @@ class TestConvBlockVariants:
         "srresnet_bn_x2", "srresnet_nac_bn_x2", "srresnet_cnac_bn_x2",
         "pan_bilinear_x4",
         "cyclegan_zero", "cyclegan_dropout", "cyclegan_bn_train",
+        "cyclegan_bn_eval",
     ])
     def test_variant(self, name):
         run_case_cfg(name)
+
+    def test_cyclegan_bn_eval_nonstrict_keeps_running_stats(self):
+        """EVAL-mode BN resnet under the cyclegan preset's NON-STRICT load
+        (pipeline CYCLEGAN_EXTRAS): running stats must survive conversion —
+        only INSTANCE-norm stats are vestigial — and drive F.batch_norm.
+        Dropping them silently fell back to per-image statistics, diverging
+        from the reference (fixed round 5, resnet.py ignore_key_patterns)."""
+        from innfer_tpu.checkpoint.torch_pickle import load_checkpoint
+        from innfer_tpu.loader import load_model_from_state
+
+        fx = np.load(os.path.join(GOLDENS, "cyclegan_bn_eval.npz"))
+        meta = json.loads(str(fx["meta"]))
+        state = load_checkpoint(os.path.join(GOLDENS, "cyclegan_bn_eval.pth"))
+        cfg = dict(meta["cfg"])
+        cfg["meval"] = True
+        model, params = load_model_from_state(state, cfg, strict=False)
+        assert any(k.endswith("running_mean") for k in params)
+        x = jax.numpy.asarray(np.transpose(fx["input"], (0, 2, 3, 1)))
+        out = np.transpose(
+            np.asarray(jax.jit(model.apply)(params, x)), (0, 3, 1, 2))
+        ref = fx["output"]
+        p = psnr(out, ref, peak=max(1.0, np.abs(ref).max()))
+        assert p >= 80, f"non-strict BN-eval PSNR {p:.2f} dB"
 
 
 class TestBF16Fidelity:

@@ -248,6 +248,17 @@ def main_round2():
     save_case("cyclegan_bn_train", {"type": "resnet_6blocks", "ngf": 8,
                                     "norm_type": "batch"}, 1, (48, 48),
               seed=52, input_range=(-1.0, 1.0), meval=False, perturb=True)
+    main_round5()
+
+
+def main_round5():
+    """Round-5 fixture: EVAL-mode batch-norm resnet generator.  The
+    reference uses the checkpoint's running stats here; until round 5 the
+    non-strict preset load dropped them (ignore_key_patterns), silently
+    falling back to per-image statistics."""
+    save_case("cyclegan_bn_eval", {"type": "resnet_6blocks", "ngf": 8,
+                                   "norm_type": "batch"}, 1, (48, 48),
+              seed=53, input_range=(-1.0, 1.0), perturb=True)
 
 
 def save_evsrgan_case(name, nb, nf, in_dhw, scale=2, seed=60):
